@@ -1,0 +1,202 @@
+"""Golden + property tests for the cut-point kernel (FIXTURES.md §2).
+
+These pin the reference semantics surveyed from
+/root/reference/Segmentation.cpp (see urqt_spark/kernel.py docstring
+for the exact contract and documented deviations).
+"""
+
+import numpy as np
+import pytest
+
+from urqt_spark.kernel import (
+    MAX_QUAL,
+    cut_points_em,
+    cut_points_qc,
+    cut_points_qc_naive,
+    phred_lut,
+    quality_to_proba,
+    trim_file,
+)
+
+LUT20 = phred_lut(20)
+
+
+def run(q, threshold=20, **kw):
+    return trim_file(np.array(q, dtype=np.int64), threshold=threshold, **kw)
+
+
+GOLDEN = [
+    # case_id, q, threshold, kwargs, (cut_begin, cut_end, keep)
+    ("all_good", [40] * 20, 20, {}, (0, 19, True)),
+    ("all_bad", [2] * 20, 20, {}, (3, 3, False)),
+    ("bad_tail", [40] * 12 + [2] * 8, 20, {}, (0, 11, True)),
+    ("bad_head", [2] * 6 + [40] * 14, 20, {}, (6, 19, True)),
+    ("bad_both", [2] * 4 + [40] * 12 + [2] * 4, 20, {}, (4, 15, True)),
+    ("neutral_run", [40] * 10 + [20] * 10, 20, {}, (0, 15, True)),
+    ("tail_only_mode", [2] * 5 + [40] * 10 + [2] * 5, 20, {"pos": "tail"}, (0, 14, True)),
+    ("head_only_mode", [2] * 5 + [40] * 10 + [2] * 5, 20, {"pos": "head"}, (5, 19, True)),
+    ("clamp_tail", [40] * 10 + [2] * 10, 20, {"max_tail": 3}, (0, 16, True)),
+    ("clamp_head", [2] * 10 + [40] * 10, 20, {"max_head": 3}, (3, 19, True)),
+    ("min_size_drop", [2] * 3 + [40] * 2 + [2] * 3, 20, {"min_size": 5}, (3, 4, False)),
+    (
+        "qc_pct_filter",
+        [40] * 4 + [19] * 2 + [40] * 4,
+        20,
+        {"min_qc_phred": 25, "min_qc_length": 90.0},
+        (0, 9, False),
+    ),
+    ("single_line", [40], 20, {}, (0, 0, False)),
+    ("single_bad", [2], 20, {}, (0, -1, False)),
+    ("q_floor", [0, 0] + [40] * 10, 20, {}, (2, 11, True)),
+]
+
+
+@pytest.mark.parametrize("case_id,q,t,kw,expected", GOLDEN, ids=[g[0] for g in GOLDEN])
+def test_golden(case_id, q, t, kw, expected):
+    assert run(q, threshold=t, **kw) == expected
+
+
+def test_empty_file():
+    cb, ce, keep = run([])
+    assert keep is False and ce < cb
+
+
+def test_threshold_noop():
+    # threshold <= 1 → pipeline no-op, everything kept untrimmed
+    # (/root/reference/UrQt.cpp:199-203)
+    assert run([2] * 7, threshold=1) == (0, 6, True)
+
+
+def test_neutral_point():
+    # p(t) = 0.5 exactly, for any threshold (Segmentation.cpp:48)
+    for t in (5, 10, 20, 30, 44):
+        lut = phred_lut(t)
+        assert lut[t - 1] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_lut_monotone_and_capped():
+    for t in (5, 10, 20, 30, 44):
+        lut = phred_lut(t)
+        assert np.all(np.diff(lut) >= -1e-12)
+        assert lut.max() <= 1.0
+        assert lut.min() > 0.0
+        assert lut.shape == (MAX_QUAL - 1,)
+
+
+def test_classic_curve():
+    lut = phred_lut(0, classic=True)
+    assert lut[9] == pytest.approx(0.9)  # q=10 → 1-10^-1
+    assert lut[19] == pytest.approx(0.99)
+
+
+def test_q_clamped_gather():
+    lut = phred_lut(20)
+    p = quality_to_proba(np.array([0, 1, 45, 100, -3]), lut)
+    assert p[0] == lut[0] and p[4] == lut[0]  # clamped low
+    assert p[2] == lut[43] and p[3] == lut[43]  # clamped high
+
+
+def test_vectorized_equals_naive_random():
+    rng = np.random.default_rng(42)
+    for _ in range(200):
+        n = int(rng.integers(1, 80))
+        q = rng.integers(1, MAX_QUAL, size=n)
+        p = quality_to_proba(q, LUT20)
+        for pos in ("both", "tail", "head"):
+            mh = int(rng.integers(0, n + 2)) if rng.random() < 0.3 else None
+            mt = int(rng.integers(0, n + 2)) if rng.random() < 0.3 else None
+            assert cut_points_qc(p, pos, mh, mt) == cut_points_qc_naive(p, pos, mh, mt)
+
+
+def test_retrim_contracts():
+    # Re-trimming the kept slice never extends it (contraction).  Full
+    # idempotence does NOT hold for arbitrary noisy vectors — the
+    # L·log(1/L) length prior changes with n, so the argmax can move
+    # inward on a second pass; the reference behaves identically.
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n = int(rng.integers(2, 60))
+        q = rng.integers(1, MAX_QUAL, size=n)
+        cb, ce, _ = run(list(q))
+        if ce - cb > 0:
+            kept = list(q[cb : ce + 1])
+            cb2, ce2, _ = run(kept)
+            assert cb2 >= 0 and ce2 <= len(kept) - 1
+
+
+def test_idempotent_on_structured_input():
+    # On clean structured files (uniform good body, bad flanks) the
+    # first trim removes exactly the flanks and a second trim is a
+    # no-op.
+    for q in ([40] * 30, [2] * 5 + [40] * 30 + [2] * 5, [40] * 30 + [2] * 8):
+        cb, ce, _ = run(q)
+        kept = q[cb : ce + 1]
+        assert all(x == 40 for x in kept)
+        cb2, ce2, _ = run(kept)
+        assert (cb2, ce2) == (0, len(kept) - 1)
+
+
+def test_threshold_monotonic():
+    # raising the threshold (stricter) never lengthens the kept segment
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        n = int(rng.integers(4, 50))
+        q = rng.integers(1, MAX_QUAL, size=n)
+        prev = None
+        for t in (5, 10, 20, 30, 40):
+            cb, ce, _ = run(list(q), threshold=t)
+            kept = max(0, ce - cb + 1)
+            if prev is not None:
+                assert kept <= prev + 1e-9
+            prev = kept
+
+
+def test_em_qc_mode_equals_single_scan():
+    # With target_class=None the EM path must reduce to the QC scan
+    # (the likelihood does not depend on the composition; verified
+    # against Segmentation.cpp:190-213's loop structure).
+    rng = np.random.default_rng(3)
+    for _ in range(100):
+        n = int(rng.integers(1, 60))
+        q = rng.integers(1, MAX_QUAL, size=n)
+        p = quality_to_proba(q, LUT20)
+        classes = rng.integers(0, 4, size=n)
+        assert cut_points_em(p, classes, None) == cut_points_qc(p)
+
+
+def test_em_poly_class_trims_junk_run():
+    # poly-class mode: a tail run of JUNK lines with high confidence is
+    # recognized and trimmed; boundary keep rule re-extends by one
+    # (Segmentation.cpp:269-278).
+    from urqt_spark.kernel import CLASS_CODE, CLASS_JUNK
+
+    n_good, n_junk = 12, 8
+    q = np.array([40] * n_good + [40] * n_junk)
+    p = quality_to_proba(q, LUT20)
+    classes = np.array([CLASS_CODE] * n_good + [CLASS_JUNK] * n_junk)
+    cb, ce = cut_points_em(p, classes, CLASS_JUNK)
+    # cut lands at the class boundary, then the boundary rule keeps one
+    # adjacent junk line
+    assert cb == 0 and ce == n_good  # 11 + boundary re-extension
+
+
+def test_em_whole_file_collapse():
+    # a file that is entirely the target class collapses to empty
+    # (Segmentation.cpp:254-268).  Class mode uses the CLASSIC curve
+    # (the reference picks classic=true for poly-N, UrQt.cpp:594-597),
+    # where p(40) = 1 - 1e-4 > 0.99; the QC curve would stay below the
+    # 0.99 collapse threshold.
+    from urqt_spark.kernel import CLASS_JUNK
+
+    q = np.array([40] * 10)
+    p = quality_to_proba(q, phred_lut(20, classic=True))
+    classes = np.full(10, CLASS_JUNK)
+    cb, ce = cut_points_em(p, classes, CLASS_JUNK)
+    assert cb == ce  # collapsed
+
+
+def test_max_head_tail_zero_disables_scan():
+    q = [2] * 5 + [40] * 10 + [2] * 5
+    assert run(q, max_tail=0) == (5, 19, True)
+    assert run(q, max_head=0) == (0, 14, True)
+    assert run(q, max_head=0, max_tail=0) == (0, 19, True)

@@ -1,0 +1,102 @@
+"""Per-line quality contract for source code.
+
+This is the code-domain analogue of the reference's phred string
+(``/root/reference/Read.cpp:499-502``): a deterministic, engine-portable
+map from a line of text to an integer quality ``q ∈ [1, 44]``.  The
+SAME formula is implemented three ways — NumPy (kernel/tests), Spark
+Column expressions (JVM-side, whole-stage codegen), and ANSI SQL
+(DuckDB oracle) — and all three must agree exactly, which is why every
+ingredient is integer-or-IEEE-double arithmetic with a fixed operation
+order and ``floor(x + 0.5)`` rounding (banker's rounding differs
+between engines; explicit floor does not).
+
+Formula (the contract; FIXTURES.md §2):
+
+* ``L``      = character length of the line
+* ``g``      = count of "good" characters: ``[A-Za-z0-9 _.,;:()=+*/<>#-]``
+* ``ratio``  = ``g / L`` (0 when ``L == 0``)
+* ``lp``     = ``1.0`` when ``L <= 200`` else ``200.0 / L``
+  (minified-blob length penalty; analogue of the reference's
+  ``MAX_QUAL`` cap — a documented analysis bound)
+* ``q``      = ``max(1, min(44, floor(44.0 * ratio * lp + 0.5)))``
+
+The corpus generator plants target qualities by emitting 100-char lines
+with exactly ``round(100 * q / 44)`` good characters, which round-trips
+through this formula for every q in [1, 44].
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# Portable across Java regex (Spark) and RE2 (DuckDB): plain character
+# class, '-' last so it is literal.
+GOOD_CHARS_PATTERN = r"[A-Za-z0-9 _.,;:()=+*/<>#-]"
+_GOOD_RE = re.compile(GOOD_CHARS_PATTERN)
+
+MAX_LINE_LEN = 200  # length-penalty knee
+Q_MAX = 44  # top of the reference quality domain [1, MAX_QUAL) = [1, 45)
+
+
+def line_quality(line: str) -> int:
+    """NumPy/pure-Python reference implementation of the contract."""
+    L = len(line)
+    if L == 0:
+        return 1
+    g = len(_GOOD_RE.findall(line))
+    lp = 1.0 if L <= MAX_LINE_LEN else float(MAX_LINE_LEN) / L
+    q = int(np.floor(44.0 * g / L * lp + 0.5))
+    return max(1, min(Q_MAX, q))
+
+
+def lines_quality(lines: list[str]) -> np.ndarray:
+    return np.array([line_quality(x) for x in lines], dtype=np.int64)
+
+
+def quality_sql(line_expr: str) -> str:
+    """The contract as an ANSI-SQL scalar expression (works in both
+    Spark SQL and DuckDB), parameterized by a line-string expression."""
+    L = f"length({line_expr})"
+    g = f"(length({line_expr}) - length(regexp_replace({line_expr}, '[A-Za-z0-9 _.,;:()=+*/<>#-]', '', 'g')))"
+    ratio = f"(CASE WHEN {L} = 0 THEN 0.0 ELSE CAST({g} AS DOUBLE) / {L} END)"
+    lp = f"(CASE WHEN {L} <= 200 THEN 1.0 ELSE 200.0 / {L} END)"
+    return f"GREATEST(1, LEAST(44, CAST(floor(44.0 * {ratio} * {lp} + 0.5) AS INT)))"
+
+
+def quality_spark_sql(line_expr: str) -> str:
+    """Spark-SQL variant: Spark's regexp_replace has no flags argument
+    (it is global by default)."""
+    L = f"length({line_expr})"
+    g = f"(length({line_expr}) - length(regexp_replace({line_expr}, '[A-Za-z0-9 _.,;:()=+*/<>#-]', '')))"
+    ratio = f"(CASE WHEN {L} = 0 THEN 0.0D ELSE CAST({g} AS DOUBLE) / {L} END)"
+    lp = f"(CASE WHEN {L} <= 200 THEN 1.0D ELSE 200.0D / {L} END)"
+    return f"GREATEST(1, LEAST(44, CAST(floor(44.0D * {ratio} * {lp} + 0.5D) AS INT)))"
+
+
+# ---------------------------------------------------------------------------
+# Line classes (the poly-N analogue): code / comment / blank / junk
+# ---------------------------------------------------------------------------
+
+_COMMENT_RE = re.compile(r"^\s*(#|//|--|/\*|\*)")
+
+
+def line_class(line: str) -> int:
+    """Deterministic class per line, the 4-letter alphabet of the
+    class-composition EM mode (reference nucleotides → line classes)."""
+    from urqt_spark.kernel import CLASS_BLANK, CLASS_CODE, CLASS_COMMENT, CLASS_JUNK
+
+    if line.strip() == "":
+        return CLASS_BLANK
+    if _COMMENT_RE.match(line):
+        return CLASS_COMMENT
+    L = len(line)
+    g = len(_GOOD_RE.findall(line))
+    if g / L < 0.3:
+        return CLASS_JUNK
+    return CLASS_CODE
+
+
+def lines_class(lines: list[str]) -> np.ndarray:
+    return np.array([line_class(x) for x in lines], dtype=np.int64)

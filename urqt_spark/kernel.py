@@ -1,0 +1,421 @@
+"""Core NumPy kernel: UrQt's maximum-likelihood two-segment cut-point
+search, generalized from per-base phred trimming to per-line quality
+trimming of source files.
+
+Reference semantics (studied, not copied — the reference is C++):
+
+* probability curve  ``/root/reference/Segmentation.cpp:25-63``
+* fixed-probability scan ``Segmentation.cpp:120-164`` (``polyNtrim``)
+* EM scan ``Segmentation.cpp:166-284`` (``polyNtrimEstimate``)
+* segment likelihoods ``Segmentation.cpp:286-443``
+* QC / size checks ``Segmentation.cpp:480-505``
+
+The model: a file is ``n`` lines, line ``i`` has an integer quality
+``q_i ∈ [1, MAX_QUAL)``.  ``q`` maps to ``p_i = P(line i is good)``
+through a lookup table (``phred_lut``).  The kernel finds the tail cut
+``k1`` maximizing ``keep(0, i) + bad(i+1, n-1)`` and then the head cut
+``k2`` maximizing ``bad(0, i) + keep(i+1, k1)``, where each segment
+likelihood carries a ``L * log(1/L)`` length prior:
+
+* QC mode (the reference's ``m_N == '?'``):
+  ``keep_term(j) = log p_j`` (``Segmentation.cpp:325-326``),
+  ``bad_term(j) = log(1/4) + log(1 - p_j)`` (``Segmentation.cpp:351``).
+  In this mode the reference's EM loop is degenerate — the likelihood
+  does not depend on the re-estimated composition — so one scan is
+  exact (we verified this against ``Segmentation.cpp:190-213``: the
+  loop exits after the second identical pass).
+
+* class mode (the reference's poly-N mode, ``m_N ∈ {G,C,A,T}`` →
+  here line classes ``{code, comment, blank, junk}``): keep term is
+  ``log p_j + log(P(class_j))``, bad term matches the target class
+  (``log p_j`` if ``class_j == N`` else ``log(1/4) + log(1-p_j)``),
+  and EM alternates argmax with soft re-estimation of the class
+  composition (``Segmentation.cpp:445-459, 554-666``).
+
+Intended-semantics deviations from the reference (documented in
+SURVEY.md §2.3; the reference's quirks are bugs we do not replicate):
+
+* ``q = 0`` is clamped to 1 (the reference underflows its LUT,
+  ``Segmentation.cpp:115``).
+* EM convergence uses ``abs`` on the float delta (the reference calls
+  ``labs`` — long abs — on a double, ``Segmentation.cpp:190,227``).
+* The empty rule is the reference's, exactly: keep requires
+  ``cut_end - cut_begin > 0`` (``Read.cpp:573-585``).  This is load-
+  bearing — an all-bad file's argmax lands on a single-line "kept"
+  segment (the ``L log(1/L)`` length prior rewards splitting), and the
+  ``diff > 0`` rule is what actually drops it.
+* Tie-break is pinned: both scans take the FIRST maximum in ascending
+  candidate order (the reference's fixed path also never resets the
+  running best between the tail and head scans —
+  ``Segmentation.cpp:142-158`` — which we treat as a bug).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_QUAL = 45  # q domain is [1, 45): /root/reference/Segmentation.hpp:21
+
+LOG_QUARTER = float(np.log(0.25))
+
+# Line classes for the poly-class (reference: poly-N) mode. The 4
+# nucleotides map to 4 line classes of source code.
+CLASS_CODE, CLASS_COMMENT, CLASS_BLANK, CLASS_JUNK = 0, 1, 2, 3
+N_CLASSES = 4
+
+
+def phred_lut(threshold: int, classic: bool = False) -> np.ndarray:
+    """Quality→probability lookup table, ``lut[q-1] = P(good | q)``.
+
+    classic:  ``1 - 10^(-q/10)`` (reference poly-N mode,
+    ``Segmentation.cpp:29-35``).
+    QC curve: ``1 - 2^(-q/t)`` for ``q <= max(t, 20)``, then a cubic
+    Bézier blend up to ``MAX_QUAL`` capped at 1.0
+    (``Segmentation.cpp:36-60``).  Property: ``p(t) = 0.5``.
+    """
+    q = np.arange(1, MAX_QUAL, dtype=np.float64)
+    if classic:
+        return 1.0 - np.power(10.0, -q / 10.0)
+    t = float(threshold)
+    ts = float(max(threshold, 20))
+    lut = 1.0 - np.power(2.0, -q / t)
+    above = q > ts
+    if above.any():
+        p0 = 1.0 - 2.0 ** (-ts / t)
+        # derivative of 1-2^(-x/t) at ts; 0.6931472 is the reference's
+        # hard-coded log(2) (Segmentation.cpp:54) — kept verbatim so the
+        # curve matches bit-for-bit.
+        phred_prime = (0.6931472 * 2.0 ** (-ts / t)) / t
+        p1 = phred_prime * ((1.0 / 3.0 * (MAX_QUAL - ts) + ts) - ts) + p0
+        js = (q[above] - ts) / (MAX_QUAL - ts)
+        bez = (
+            (1 - js) ** 3 * p0
+            + 3 * (1 - js) ** 2 * js * p1
+            + 3 * (1 - js) * js * js
+            + js ** 3
+        )
+        lut[above] = np.minimum(1.0, bez)
+    return lut
+
+
+def quality_to_proba(q: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Gather ``p_i = lut[q_i - 1]`` with q clamped into [1, MAX_QUAL-1].
+
+    The clamp fixes the reference's q=0 LUT underflow
+    (``Segmentation.cpp:113-117``).
+    """
+    qc = np.clip(np.asarray(q, dtype=np.int64), 1, MAX_QUAL - 1)
+    return lut[qc - 1]
+
+
+def _length_prior(length: np.ndarray) -> np.ndarray:
+    """``L * log(1/L)`` with the empty segment contributing 0."""
+    L = np.asarray(length, dtype=np.float64)
+    out = np.zeros_like(L)
+    nz = L > 0
+    out[nz] = -L[nz] * np.log(L[nz])
+    return out
+
+
+def cut_points_qc(
+    p: np.ndarray,
+    pos: str = "both",
+    max_head: int | None = None,
+    max_tail: int | None = None,
+) -> tuple[int, int]:
+    """QC-mode cut search over one file's line probabilities.
+
+    Returns ``(cut_begin, cut_end)`` — the kept slice is
+    ``[cut_begin, cut_end]`` inclusive; ``cut_end < cut_begin`` means
+    everything was trimmed.  O(n) via prefix sums (the reference gets
+    O(n) via incremental updates, ``Segmentation.cpp:297-303``).
+
+    ``max_head`` / ``max_tail``: ``None`` = unbounded, ``0`` = that
+    scan is disabled (reference gates at ``Segmentation.cpp:128,142``).
+    """
+    p = np.asarray(p, dtype=np.float64)
+    n = p.size
+    if n == 0:
+        return 0, -1
+    eps = np.finfo(np.float64).tiny
+    lk = np.log(np.maximum(p, eps))  # keep term: log p_j
+    lb = LOG_QUARTER + np.log(np.maximum(1.0 - p, eps))  # bad term
+    ck = np.concatenate(([0.0], np.cumsum(lk)))
+    cb = np.concatenate(([0.0], np.cumsum(lb)))
+
+    cut_begin, cut_end = 0, n - 1
+    do_tail = pos in ("tail", "both") and max_tail != 0
+    do_head = pos in ("head", "both") and max_head != 0
+
+    if do_tail:
+        # candidates i in [-1, n-1]; keep(0,i) + bad(i+1, n-1)
+        i = np.arange(-1, n)
+        keep_len = (i + 1).astype(np.float64)
+        bad_len = (n - 1 - i).astype(np.float64)
+        logl = (
+            ck[i + 1]
+            + _length_prior(keep_len)
+            + (cb[n] - cb[i + 1])
+            + _length_prior(bad_len)
+        )
+        cut_end = int(np.argmax(logl)) - 1  # first max wins
+        if max_tail is not None and cut_end < n - max_tail - 1:
+            cut_end = n - max_tail - 1
+
+    if do_head:
+        k1 = cut_end
+        # candidates i in [-1, k1]; bad(0,i) + keep(i+1, k1)
+        i = np.arange(-1, k1 + 1)
+        bad_len = (i + 1).astype(np.float64)
+        keep_len = (k1 - i).astype(np.float64)
+        logl = (
+            cb[i + 1]
+            + _length_prior(bad_len)
+            + (ck[k1 + 1] - ck[i + 1])
+            + _length_prior(keep_len)
+        )
+        cut_begin = int(np.argmax(logl))  # position of i+1 = argmax index
+        if max_head is not None and cut_begin > max_head:
+            cut_begin = max_head
+
+    return cut_begin, cut_end
+
+
+def cut_points_qc_naive(
+    p: np.ndarray,
+    pos: str = "both",
+    max_head: int | None = None,
+    max_tail: int | None = None,
+) -> tuple[int, int]:
+    """O(n²) oracle for :func:`cut_points_qc` — direct transcription of
+    the likelihood definition, used only by property tests."""
+    p = np.asarray(p, dtype=np.float64)
+    n = p.size
+    if n == 0:
+        return 0, -1
+    eps = np.finfo(np.float64).tiny
+
+    def keep(b, e):
+        if e < b:
+            return 0.0
+        L = e - b + 1
+        return float(np.sum(np.log(np.maximum(p[b : e + 1], eps)))) + L * np.log(1.0 / L)
+
+    def bad(b, e):
+        if e < b:
+            return 0.0
+        L = e - b + 1
+        s = float(
+            np.sum(LOG_QUARTER + np.log(np.maximum(1.0 - p[b : e + 1], eps)))
+        )
+        return s + L * np.log(1.0 / L)
+
+    cut_begin, cut_end = 0, n - 1
+    if pos in ("tail", "both") and max_tail != 0:
+        best = -np.inf
+        for i in range(-1, n):
+            v = keep(0, i) + bad(i + 1, n - 1)
+            if v > best:
+                best, cut_end = v, i
+        if max_tail is not None and cut_end < n - max_tail - 1:
+            cut_end = n - max_tail - 1
+    if pos in ("head", "both") and max_head != 0:
+        k1 = cut_end
+        best = -np.inf
+        for i in range(-1, k1 + 1):
+            v = bad(0, i) + keep(i + 1, k1)
+            if v > best:
+                best, cut_begin = v, i + 1
+        if max_head is not None and cut_begin > max_head:
+            cut_begin = max_head
+    return cut_begin, cut_end
+
+
+def cut_points_em(
+    p: np.ndarray,
+    classes: np.ndarray,
+    target_class: int | None = None,
+    pos: str = "both",
+    max_head: int | None = None,
+    max_tail: int | None = None,
+    tol: float = 0.01,
+    max_iter: int = 100,
+) -> tuple[int, int]:
+    """Class-composition EM cut search (reference poly-N estimate path,
+    ``Segmentation.cpp:166-284``).
+
+    ``classes[i] ∈ [0, 4)`` is line i's class; ``target_class`` plays
+    the poly-N letter's role in the bad segment (``None`` → QC mode
+    bad term).  EM alternates the argmax scan with soft re-estimation
+    of the class composition from the kept segment
+    (``Segmentation.cpp:445-459``); keep term is
+    ``log p_j + log(pi[class_j])`` (``Segmentation.cpp:507-552``,
+    plain-letter branches).
+    """
+    p = np.asarray(p, dtype=np.float64)
+    classes = np.asarray(classes, dtype=np.int64)
+    n = p.size
+    if n == 0:
+        return 0, -1
+    eps = np.finfo(np.float64).tiny
+    lp = np.log(np.maximum(p, eps))
+    lq = np.log(np.maximum(1.0 - p, eps))
+    if target_class is None:
+        lb = LOG_QUARTER + lq
+    else:
+        lb = np.where(classes == target_class, lp, LOG_QUARTER + lq)
+    cb = np.concatenate(([0.0], np.cumsum(lb)))
+
+    # soft class counts per line (Segmentation.cpp:554-666, plain
+    # branches): own class gets p, others (1-p)/3
+    soft = np.full((n, N_CLASSES), 0.0)
+    soft[:] = ((1.0 - p) / 3.0)[:, None]
+    soft[np.arange(n), classes] = p
+
+    def keep_cum(pi):
+        # QC mode (m_N == '?'): keep term is log p only — the
+        # composition does not enter (Segmentation.cpp:325-326)
+        if target_class is None:
+            lk = lp
+        else:
+            lk = lp + np.log(np.maximum(pi[classes], eps))
+        return np.concatenate(([0.0], np.cumsum(lk)))
+
+    def reestimate(b, e):
+        if e < b:
+            return np.full(N_CLASSES, 0.25)
+        counts = soft[b : e + 1].sum(axis=0)
+        return counts / counts.sum()
+
+    cut_begin, cut_end = 0, n - 1
+
+    if pos in ("tail", "both") and max_tail != 0:
+        pi = np.full(N_CLASSES, 0.25)
+        old, new = 0.0, 1.0
+        it = 0
+        while abs(new - old) > tol and it < max_iter:
+            old = new
+            ck = keep_cum(pi)
+            i = np.arange(-1, n)
+            logl = (
+                ck[i + 1]
+                + _length_prior((i + 1).astype(np.float64))
+                + (cb[n] - cb[i + 1])
+                + _length_prior((n - 1 - i).astype(np.float64))
+            )
+            j = int(np.argmax(logl))
+            cut_end = j - 1
+            new = float(logl[j])
+            pi = reestimate(cut_begin, cut_end)
+            it += 1
+        if max_tail is not None and cut_end < n - max_tail - 1:
+            cut_end = n - max_tail - 1
+
+    if pos in ("head", "both") and max_head != 0:
+        k1 = cut_end
+        pi = np.full(N_CLASSES, 0.25)
+        old, new = 0.0, 1.0
+        it = 0
+        while abs(new - old) > tol and it < max_iter:
+            old = new
+            ck = keep_cum(pi)
+            i = np.arange(-1, k1 + 1)
+            logl = (
+                cb[i + 1]
+                + _length_prior((i + 1).astype(np.float64))
+                + (ck[k1 + 1] - ck[i + 1])
+                + _length_prior((k1 - i).astype(np.float64))
+            )
+            j = int(np.argmax(logl))
+            cut_begin = j
+            new = float(logl[j])
+            pi = reestimate(cut_begin, cut_end)
+            it += 1
+        if max_head is not None and cut_begin > max_head:
+            cut_begin = max_head
+
+    # whole-file homopolymer collapse (Segmentation.cpp:254-268) and
+    # boundary keep rule (Segmentation.cpp:269-278), class-mode only
+    if target_class is not None:
+        pi_final = reestimate(cut_begin, cut_end)
+        # an empty kept segment means the whole file was the target
+        # class (the reference divides 0/0 here — Segmentation.cpp:455
+        # with an empty range; we define the collapse explicitly)
+        if cut_end < cut_begin or pi_final[target_class] >= 0.99:
+            cut_begin = cut_end = 0
+        elif cut_end != cut_begin:
+            if 0 <= cut_end < n - 1 and classes[cut_end + 1] == target_class:
+                cut_end += 1
+            if cut_begin > 0 and classes[cut_begin - 1] == target_class:
+                cut_begin -= 1
+    return cut_begin, cut_end
+
+
+def qc_check(
+    q: np.ndarray, cut_begin: int, cut_end: int, min_qc_phred: int, min_qc_length: float
+) -> bool:
+    """Percentage-above-threshold filter (``Segmentation.cpp:480-497``).
+    Armed only when both parameters are > 0."""
+    if min_qc_phred <= 0 or min_qc_length <= 0:
+        return True
+    if cut_end < cut_begin:
+        return False
+    kept = np.asarray(q)[cut_begin : cut_end + 1]
+    frac = float((kept >= min_qc_phred).sum()) / float(kept.size) * 100.0
+    return frac >= min_qc_length
+
+
+def size_check(cut_begin: int, cut_end: int, min_size: int) -> bool:
+    """Minimum kept-length filter (``Segmentation.cpp:499-505``; the
+    reference compares ``cut_end - cut_begin`` — the kept length minus
+    one — and we keep that exact comparison)."""
+    if min_size > 0 and (cut_end - cut_begin) < min_size:
+        return False
+    return True
+
+
+def decide(
+    q: np.ndarray,
+    cut_begin: int,
+    cut_end: int,
+    min_qc_phred: int = 0,
+    min_qc_length: float = 0.0,
+    min_size: int = 0,
+) -> bool:
+    """keep = QC ∧ size ∧ non-empty (``Segmentation.cpp:159-163``,
+    ``Read.cpp:573-585``: empty unless ``cut_end - cut_begin > 0``)."""
+    if cut_end - cut_begin <= 0:
+        return False
+    return qc_check(q, cut_begin, cut_end, min_qc_phred, min_qc_length) and size_check(
+        cut_begin, cut_end, min_size
+    )
+
+
+def trim_file(
+    q: np.ndarray,
+    threshold: int = 20,
+    pos: str = "both",
+    max_head: int | None = None,
+    max_tail: int | None = None,
+    min_qc_phred: int = 0,
+    min_qc_length: float = 0.0,
+    min_size: int = 0,
+    lut: np.ndarray | None = None,
+) -> tuple[int, int, bool]:
+    """One-call QC trim of a single file's line qualities.
+
+    ``threshold <= 1`` is a pipeline no-op (reference early exit,
+    ``UrQt.cpp:199-203``): keep everything untrimmed.
+    """
+    q = np.asarray(q, dtype=np.int64)
+    n = q.size
+    if threshold <= 1:
+        return 0, n - 1, n > 0
+    if n == 0:
+        return 0, -1, False
+    if lut is None:
+        lut = phred_lut(threshold)
+    p = quality_to_proba(q, lut)
+    cut_begin, cut_end = cut_points_qc(p, pos, max_head, max_tail)
+    keep = decide(q, cut_begin, cut_end, min_qc_phred, min_qc_length, min_size)
+    return cut_begin, cut_end, keep
