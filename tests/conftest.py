@@ -1,0 +1,17 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from urqt_spark.session import get_spark
+
+    s = get_spark("urqt-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus_small():
+    from urqt_spark.sources.corpus import generate_corpus
+
+    return generate_corpus(200, seed=42)

@@ -1,0 +1,117 @@
+"""End-to-end pipeline correctness (FIXTURES.md §1): the Spark plan's
+keep/drop, trim bounds, and scrubbed-text sha256 must match the labels
+computed by the independent naive-oracle path at generation time.
+
+Targets from BASELINE.json: keep/drop F1 ≥ 0.99 (here: exact equality,
+F1 = 1.0) and sha256 equality per surviving row.
+"""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from urqt_spark.config import FilterConfig
+from urqt_spark.plans.pipeline import kept_rows, metrics, quality_filter_plan
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus_small):
+    df = spark.createDataFrame(corpus_small)
+    out = quality_filter_plan(df, FilterConfig())
+    return out.select(
+        "path",
+        "keep",
+        "cut_begin",
+        "cut_end",
+        "scrubbed_sha256",
+        "lang",
+        "lang_pred",
+        "ppl",
+        "qc_pass",
+        "content_scrubbed",
+    ).toPandas()
+
+
+def test_keep_drop_f1(result, corpus_small):
+    merged = result.merge(
+        corpus_small[["path", "expected_keep"]], on="path", validate="1:1"
+    )
+    # heuristics can only drop more, never resurrect; with default
+    # thresholds on this corpus they drop nothing extra, so equality
+    # holds and F1 = 1.0
+    tp = ((merged.keep) & (merged.expected_keep)).sum()
+    fp = ((merged.keep) & (~merged.expected_keep)).sum()
+    fn = ((~merged.keep) & (merged.expected_keep)).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, (tp, fp, fn)
+    assert fp == 0 and fn == 0  # exact on the synthetic corpus
+
+
+def test_trim_bounds_exact(result, corpus_small):
+    merged = result.merge(
+        corpus_small[["path", "expected_trim_begin", "expected_trim_end"]],
+        on="path",
+        validate="1:1",
+    )
+    assert (merged.cut_begin == merged.expected_trim_begin).all()
+    assert (merged.cut_end == merged.expected_trim_end).all()
+
+
+def test_scrubbed_sha256(result, corpus_small):
+    merged = result.merge(
+        corpus_small[["path", "expected_keep", "expected_scrubbed_sha256"]],
+        on="path",
+        validate="1:1",
+    )
+    surv = merged[merged.expected_keep]
+    assert len(surv) > 0
+    assert (surv.scrubbed_sha256 == surv.expected_scrubbed_sha256).all()
+
+
+def test_scrub_removed_pii(result):
+    surv = result[result.keep]
+    joined = "\n".join(surv.content_scrubbed)
+    assert "example.com" not in joined
+    assert "AKIA" not in joined
+    assert "192.168.12.34" not in joined
+    assert "sk_live" not in joined
+
+
+def test_langid_on_kept(result):
+    # langid runs and emits a known label with confidence in [0,1]
+    assert result.lang_pred.isin(
+        ["python", "java", "javascript", "markdown", "text"]
+    ).all()
+
+
+def test_metrics(spark, corpus_small):
+    df = spark.createDataFrame(corpus_small)
+    out = quality_filter_plan(
+        df, FilterConfig(langid_enabled=False, perplexity_enabled=False)
+    )
+    m = metrics(out).collect()[0]
+    assert m.total_files == len(corpus_small)
+    assert m.kept_files == int(corpus_small.expected_keep.sum())
+    assert m.kept_files + m.dropped_files == m.total_files
+
+
+def test_partition_pruning_filter(spark, corpus_small):
+    df = spark.createDataFrame(corpus_small)
+    out = quality_filter_plan(
+        df,
+        FilterConfig(langid_enabled=False, perplexity_enabled=False),
+        langs=["python"],
+    )
+    langs = [r.lang for r in out.select("lang").distinct().collect()]
+    assert langs == ["python"]
+
+
+def test_kept_rows_subset(spark, corpus_small):
+    df = spark.createDataFrame(corpus_small)
+    out = quality_filter_plan(
+        df, FilterConfig(langid_enabled=False, perplexity_enabled=False)
+    )
+    k = kept_rows(out)
+    assert k.count() == int(corpus_small.expected_keep.sum())

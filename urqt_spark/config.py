@@ -1,0 +1,55 @@
+"""Frozen pipeline configuration (the reference's 23-option CLI surface,
+``/root/reference/UrQt.cpp:46-424``, reduced to the knobs that exist in
+the code-quality domain).  A frozen dataclass is cheap to close over in
+pandas UDFs — Spark serializes it once per task, the moral equivalent of
+a broadcast variable for scalar config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    # --t: quality threshold; p(threshold) = 0.5 (UrQt.cpp:63 — code
+    # default 20, docs claim 5; code wins per SURVEY.md)
+    threshold: int = 20
+    # --pos head|tail|both (UrQt.cpp:365-390)
+    pos: str = "both"
+    # --max_head_trim / --max_tail_trim; None = unbounded, 0 = disable
+    max_head: int | None = None
+    max_tail: int | None = None
+    # --min_read_size (Segmentation.cpp:499-505)
+    min_size: int = 0
+    # --min_QC_phred / --min_QC_length (Segmentation.cpp:480-497)
+    min_qc_phred: int = 0
+    min_qc_length: float = 0.0
+    # --r analogue: keep rows that trimmed to empty (reference keeps
+    # them only in paired mode, Read.cpp:586-596)
+    keep_empty: bool = False
+    # poly-class mode: None → QC mode; else one of code/comment/blank/junk
+    target_class: str | None = None
+
+    # ---- scale knobs (Spark-side) ----
+    salt_buckets: int = 64  # salted repartition fan (SURVEY.md §4)
+    arrow_batch_rows: int = 2048  # large `content` → bounded Arrow batches
+    shuffle_partitions: int = 32
+
+    # ---- stage toggles ----
+    langid_enabled: bool = True
+    perplexity_enabled: bool = True
+    heuristics_enabled: bool = True
+    scrub_enabled: bool = True
+
+    # heuristic-rule thresholds (quality_filter stage; Gopher/C4-style
+    # rules re-targeted at source code)
+    max_ppl: float = 1e9  # perplexity cutoff (disabled by default)
+    min_lines: int = 0
+    max_mean_line_len: float = 400.0
+    min_alnum_ratio: float = 0.20
+    max_longest_line: int = 10000
+
+    languages: tuple[str, ...] = field(
+        default=("python", "java", "javascript", "markdown", "text")
+    )

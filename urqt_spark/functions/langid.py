@@ -1,0 +1,150 @@
+"""fastText-style language identification, from scratch.
+
+A hashed character-trigram linear model: features are FNV-1a-hashed
+char 3-grams in a 4096-bucket space; the "model" is one L2-normalized
+centroid per language, built deterministically at import time from
+embedded seed snippets (public-knowledge boilerplate — no downloads,
+no external data).  Prediction is an argmax of centroid dot products —
+a (4096 × n_langs) matmul per batch, fully NumPy-vectorized.
+
+This plays the role BASELINE.json's north_star assigns to "fastText
+language-ID ... computed in vectorized pandas/Arrow UDFs".  The model
+matrix is a plain ndarray closed over by the UDF — Spark ships it once
+per executor with the serialized function (the broadcast-artifact
+pattern; same shape as the reference's static LUT hoist,
+/root/reference/Segmentation.cpp:25-63).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+N_BUCKETS = 4096
+
+_SEED_SNIPPETS: dict[str, str] = {
+    "python": (
+        "def main(argv):\n    import os, sys\n    for i in range(10):\n"
+        "        print(f'value {i}')\n    return 0\n\nclass Config:\n"
+        "    def __init__(self, path):\n        self.path = path\n"
+        "        with open(path) as fh:\n            self.data = fh.read()\n"
+        "    @property\n    def name(self):\n        return self._name\n"
+        "if __name__ == '__main__':\n    sys.exit(main(sys.argv))\n"
+        "try:\n    x = int(value)\nexcept ValueError as exc:\n    raise\n"
+        "lambda x: x + 1\nimport numpy as np\nfrom typing import Optional\n"
+        "elif isinstance(obj, dict):\n    yield from obj.items()\n"
+    ),
+    "java": (
+        "public class Main {\n    public static void main(String[] args) {\n"
+        "        System.out.println(\"hello\");\n    }\n}\n"
+        "private final int count;\nprotected void setUp() throws Exception {\n"
+        "    this.value = new ArrayList<String>();\n}\n"
+        "@Override\npublic boolean equals(Object o) {\n    return false;\n}\n"
+        "import java.util.List;\nimport java.io.IOException;\n"
+        "for (int i = 0; i < n; i++) {\n    sum += arr[i];\n}\n"
+        "static final String DEFAULT_NAME = \"default\";\n"
+        "public interface Handler extends Runnable {\n    void handle();\n}\n"
+    ),
+    "javascript": (
+        "const express = require('express');\nconst app = express();\n"
+        "function handleClick(event) {\n    event.preventDefault();\n}\n"
+        "let items = data.map((x) => x.value).filter(Boolean);\n"
+        "export default function App() {\n    return null;\n}\n"
+        "async function fetchData(url) {\n    const res = await fetch(url);\n"
+        "    return res.json();\n}\n"
+        "document.getElementById('root').addEventListener('click', () => {});\n"
+        "var config = { key: 'value', nested: { enabled: true } };\n"
+        "module.exports = { run, init };\nconsole.log(`result: ${total}`);\n"
+    ),
+    "markdown": (
+        "# Project Title\n\n## Installation\n\nRun the following command:\n\n"
+        "```bash\nnpm install\n```\n\n* item one\n* item two\n\n"
+        "See the [documentation](https://example.com) for details.\n\n"
+        "## Usage\n\n1. First step\n2. Second step\n\n> Note: this is a quote.\n\n"
+        "| column | value |\n|---|---|\n| a | 1 |\n\n**bold** and _italic_ text.\n"
+        "### Contributing\n\nPull requests are welcome! Please read the guide.\n"
+    ),
+    "text": (
+        "The quick brown fox jumps over the lazy dog. This is a plain\n"
+        "paragraph of ordinary English prose, with sentences that have\n"
+        "normal punctuation, articles, and common words. It describes\n"
+        "nothing in particular and exists to look like natural language.\n"
+        "Meeting notes: we discussed the schedule and agreed to follow\n"
+        "up next week. Attendees included several people from the team.\n"
+        "Dear customer, thank you for your purchase. Your order will be\n"
+        "shipped within three business days. Sincerely, the store.\n"
+    ),
+}
+
+
+def _trigram_hashes(text: str) -> np.ndarray:
+    """FNV-1a over every byte 3-gram, vectorized (no Python loop over
+    positions).  Deterministic across processes (unlike ``hash()``)."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if b.size < 3:
+        return np.zeros(0, dtype=np.int64)
+    P, B = np.uint64(0x100000001B3), np.uint64(0xCBF29CE484222325)
+    h = np.full(b.size - 2, B, dtype=np.uint64)
+    for k in range(3):  # 3 fixed rounds, each vectorized over all positions
+        h = (h ^ b[k : b.size - 2 + k].astype(np.uint64)) * P
+    return (h % np.uint64(N_BUCKETS)).astype(np.int64)
+
+
+def text_features(text: str) -> np.ndarray:
+    """L2-normalized hashed-trigram count vector."""
+    v = np.bincount(_trigram_hashes(text), minlength=N_BUCKETS).astype(np.float64)
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def _build_model() -> tuple[list[str], np.ndarray]:
+    langs = sorted(_SEED_SNIPPETS)
+    mat = np.stack([text_features(_SEED_SNIPPETS[k]) for k in langs])  # (L, B)
+    return langs, mat
+
+
+LANGS, CENTROIDS = _build_model()
+
+
+def predict_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(lang_idx, confidence) per text; confidence = top cosine score
+    softmax-normalized against the runner-up."""
+    feats = np.stack([text_features(t or "") for t in texts])  # (R, B)
+    scores = feats @ CENTROIDS.T  # (R, L)
+    idx = np.argmax(scores, axis=1)
+    srt = np.sort(scores, axis=1)
+    top, second = srt[:, -1], srt[:, -2]
+    conf = np.where(top > 0, (top - second) / np.maximum(top, 1e-12), 0.0)
+    return idx, conf
+
+
+def with_langid(df, text_col: str = "kept_text"):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("lang_pred", StringType(), False),
+            StructField("lang_conf", DoubleType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def langid_udf(texts: pd.Series) -> pd.DataFrame:
+        idx, conf = predict_batch(texts.fillna(""))
+        return pd.DataFrame(
+            {"lang_pred": [LANGS[i] for i in idx], "lang_conf": conf}
+        )
+
+    s = F.col("_langid")
+    return (
+        df.withColumn("_langid", langid_udf(F.col(text_col)))
+        .withColumn("lang_pred", s["lang_pred"])
+        .withColumn("lang_conf", s["lang_conf"])
+        .drop("_langid")
+    )

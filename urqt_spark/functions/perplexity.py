@@ -1,0 +1,102 @@
+"""KenLM-style character n-gram perplexity, from scratch.
+
+An order-3 character language model with interpolated backoff
+(p = λ3·p(c|c₋₂c₋₁) + λ2·p(c|c₋₁) + λ1·p(c)), trained deterministically
+at import time on the embedded seed snippets from the langid module —
+the "good source text" distribution.  High perplexity ⇒ the content
+does not look like code/prose ⇒ quality-filter signal.
+
+Counts live in fixed-size hashed arrays (open addressing is overkill —
+collisions just smooth the model, same trick hashed LMs use), so
+scoring a batch is pure NumPy gather arithmetic: no Python loop over
+characters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from urqt_spark.functions.langid import _SEED_SNIPPETS
+
+_BITS = 16
+_SIZE = 1 << _BITS
+_MASK = np.uint64(_SIZE - 1)
+_P = np.uint64(0x100000001B3)
+_B = np.uint64(0xCBF29CE484222325)
+
+L3, L2, L1 = 0.7, 0.2, 0.1
+_ADD_K = 0.5
+
+
+def _h2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    h = (_B ^ a.astype(np.uint64)) * _P
+    h = (h ^ b.astype(np.uint64)) * _P
+    return h & _MASK
+
+
+def _h3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    h = (_B ^ a.astype(np.uint64)) * _P
+    h = (h ^ b.astype(np.uint64)) * _P
+    h = (h ^ c.astype(np.uint64)) * _P
+    return h & _MASK
+
+
+def _train() -> dict[str, np.ndarray]:
+    tri = np.zeros(_SIZE, dtype=np.float64)  # count(c-2,c-1,c)
+    tri_ctx = np.zeros(_SIZE, dtype=np.float64)  # count(c-2,c-1)
+    bi = np.zeros(_SIZE, dtype=np.float64)  # count(c-1,c)
+    bi_ctx = np.zeros(256, dtype=np.float64)  # count(c-1)
+    uni = np.zeros(256, dtype=np.float64)
+
+    corpus = "\n".join(_SEED_SNIPPETS.values())
+    b = np.frombuffer(corpus.encode("utf-8", "ignore"), dtype=np.uint8)
+    np.add.at(uni, b, 1.0)
+    if b.size >= 2:
+        np.add.at(bi, _h2(b[:-1], b[1:]), 1.0)
+        np.add.at(bi_ctx, b[:-1], 1.0)
+    if b.size >= 3:
+        np.add.at(tri, _h3(b[:-2], b[1:-1], b[2:]), 1.0)
+        np.add.at(tri_ctx, _h2(b[:-2], b[1:-1]), 1.0)
+    return {
+        "tri": tri,
+        "tri_ctx": tri_ctx,
+        "bi": bi,
+        "bi_ctx": bi_ctx,
+        "uni": uni,
+        "uni_total": float(uni.sum()),
+    }
+
+
+MODEL = _train()
+
+
+def perplexity(text: str, model: dict[str, np.ndarray] | None = None) -> float:
+    """Per-character perplexity under the interpolated model."""
+    m = model or MODEL
+    b = np.frombuffer((text or "").encode("utf-8", "ignore"), dtype=np.uint8)
+    if b.size < 3:
+        return 0.0
+    a, c, d = b[:-2], b[1:-1], b[2:]
+    p3 = (m["tri"][_h3(a, c, d)] + _ADD_K) / (m["tri_ctx"][_h2(a, c)] + _ADD_K * 256)
+    p2 = (m["bi"][_h2(c, d)] + _ADD_K) / (m["bi_ctx"][c] + _ADD_K * 256)
+    p1 = (m["uni"][d] + _ADD_K) / (m["uni_total"] + _ADD_K * 256)
+    p = L3 * p3 + L2 * p2 + L1 * p1
+    return float(np.exp(-np.mean(np.log(p))))
+
+
+def perplexity_batch(texts: pd.Series) -> np.ndarray:
+    return np.fromiter(
+        (perplexity(t) for t in texts), dtype=np.float64, count=len(texts)
+    )
+
+
+def with_perplexity(df, text_col: str = "kept_text"):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def ppl_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(perplexity_batch(texts.fillna("")))
+
+    return df.withColumn("ppl", ppl_udf(F.col(text_col)))

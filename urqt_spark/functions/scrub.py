@@ -1,0 +1,89 @@
+"""Regex PII / secret scrubbing (FIXTURES.md §3).
+
+One rule set, three engines: Python ``re`` (labels + pandas UDF path),
+Spark ``regexp_replace`` (Java regex, JVM-side) and DuckDB
+``regexp_replace(..., 'g')`` (RE2).  Every pattern is written in the
+common subset of Java regex and RE2 — character classes, bounded
+repetition, alternation, ``\\b`` — no backrefs, no lookaround — so all
+three engines produce byte-identical output (the sha256-equality
+invariant from BASELINE.json's input_hint rides on this).
+
+Rules fire in a fixed order; earlier rules must not create text a later
+rule would match.
+"""
+
+from __future__ import annotations
+
+import re
+
+# (name, pattern, replacement) — applied in order
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    (
+        "private_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[^-]*-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    ("aws_key", r"AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    (
+        "secret_token",
+        r"(sk_live|sk_test|ghp|gho|ghu|xoxb|xoxp)_[A-Za-z0-9]{10,}",
+        "<SECRET>",
+    ),
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("long_hex", r"\b[0-9a-fA-F]{40,}\b", "<HEX>"),
+]
+
+_COMPILED = [(name, re.compile(pat), rep) for name, pat, rep in SCRUB_RULES]
+
+
+def scrub_text(text: str) -> str:
+    for _, rx, rep in _COMPILED:
+        text = rx.sub(rep, text)
+    return text
+
+
+def scrub_hits(text: str) -> dict[str, int]:
+    hits: dict[str, int] = {}
+    for name, rx, rep in _COMPILED:
+        n = len(rx.findall(text))
+        if n:
+            hits[name] = n
+        text = rx.sub(rep, text)
+    return hits
+
+
+def scrub_sql(col_expr: str, dialect: str = "duckdb") -> str:
+    """Nested regexp_replace chain as a SQL expression.
+
+    dialect='duckdb': RE2, 'g' flag for replace-all, string literals do
+    NOT process backslash escapes.  dialect='spark': Java regex,
+    replace-all by default, but Spark SQL string literals DO process
+    backslash escapes, so backslashes are doubled.  (The Spark pipeline
+    itself uses the pyspark ``F.regexp_replace`` API where patterns are
+    passed verbatim — this builder exists for SQL-string contexts.)
+    """
+    expr = col_expr
+    for _, pat, rep in SCRUB_RULES:
+        p = pat.replace("'", "''")
+        if dialect == "duckdb":
+            expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+        else:
+            p = p.replace("\\", "\\\\")
+            expr = f"regexp_replace({expr}, '{p}', '{rep}')"
+    return expr
+
+
+def scrub_spark_col(col):
+    """The rule chain as a pyspark Column (JVM-side, codegen-friendly;
+    patterns passed verbatim through the functions API — no SQL-literal
+    escaping)."""
+    from pyspark.sql import functions as F
+
+    for _, pat, rep in SCRUB_RULES:
+        col = F.regexp_replace(col, pat, rep)
+    return col

@@ -419,3 +419,150 @@ def trim_file(
     cut_begin, cut_end = cut_points_qc(p, pos, max_head, max_tail)
     keep = decide(q, cut_begin, cut_end, min_qc_phred, min_qc_length, min_size)
     return cut_begin, cut_end, keep
+
+
+# ---------------------------------------------------------------------------
+# Batch-vectorized kernel (the Arrow/pandas-UDF hot path)
+# ---------------------------------------------------------------------------
+#
+# Operates on a whole Arrow batch of files at once with ZERO per-row
+# Python in the scan: all rows' lines live in one flat array; prefix
+# sums are global cumsums re-based per row; per-row argmax is
+# np.maximum.reduceat + a first-index-of-max trick.  This is the
+# idiomatic Spark replacement for the reference's per-read O(1)
+# incremental updates (/root/reference/Segmentation.cpp:297-303) — the
+# same O(total_lines) work, vectorized across the batch.
+
+
+def _segmented_argmax(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """First index (global) of the per-segment maximum.
+
+    ``starts`` are segment start offsets into ``values`` (all segments
+    non-empty, last segment ends at ``values.size``).
+    """
+    seg_max = np.maximum.reduceat(values, starts)
+    # repeat per-segment max back out to element positions
+    lengths = np.diff(np.append(starts, values.size))
+    maxrep = np.repeat(seg_max, lengths)
+    idx = np.arange(values.size, dtype=np.int64)
+    big = np.int64(np.iinfo(np.int64).max)
+    cand = np.where(values == maxrep, idx, big)
+    return np.minimum.reduceat(cand, starts)
+
+
+def trim_batch(
+    q_flat: np.ndarray,
+    counts: np.ndarray,
+    threshold: int = 20,
+    pos: str = "both",
+    max_head: int | None = None,
+    max_tail: int | None = None,
+    min_qc_phred: int = 0,
+    min_qc_length: float = 0.0,
+    min_size: int = 0,
+    lut: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """QC trim for a batch of files.
+
+    ``q_flat``: all rows' line qualities concatenated;
+    ``counts[r]``: number of lines of row r (must be >= 1 — an empty
+    file is one empty line).  Returns ``(cut_begin, cut_end, keep)``
+    arrays of length ``len(counts)``.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    R = counts.size
+    if R == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=bool)
+    if threshold <= 1:  # pipeline no-op (UrQt.cpp:199-203)
+        return (
+            np.zeros(R, dtype=np.int64),
+            counts - 1,
+            counts > 0,
+        )
+    if lut is None:
+        lut = phred_lut(threshold)
+    q_flat = np.clip(np.asarray(q_flat, dtype=np.int64), 1, MAX_QUAL - 1)
+    p = lut[q_flat - 1]
+    eps = np.finfo(np.float64).tiny
+    lk = np.log(np.maximum(p, eps))
+    lb = LOG_QUARTER + np.log(np.maximum(1.0 - p, eps))
+
+    row_start = np.concatenate(([0], np.cumsum(counts)))[:-1]  # line offset per row
+    CK = np.concatenate(([0.0], np.cumsum(lk)))
+    CB = np.concatenate(([0.0], np.cumsum(lb)))
+
+    n_r = counts
+    cut_begin = np.zeros(R, dtype=np.int64)
+    cut_end = n_r - 1
+
+    def length_prior_flat(L):
+        out = np.zeros_like(L, dtype=np.float64)
+        nz = L > 0
+        out[nz] = -L[nz] * np.log(L[nz].astype(np.float64))
+        return out
+
+    do_tail = pos in ("tail", "both") and max_tail != 0
+    do_head = pos in ("head", "both") and max_head != 0
+
+    if do_tail:
+        # candidate local i in [-1, n_r-1] → n_r + 1 candidates per row
+        cand_counts = n_r + 1
+        cand_starts = np.concatenate(([0], np.cumsum(cand_counts)))[:-1]
+        total = int(cand_counts.sum())
+        g = np.arange(total, dtype=np.int64)
+        r_of = np.repeat(np.arange(R, dtype=np.int64), cand_counts)
+        i_loc = g - cand_starts[r_of] - 1  # -1 .. n_r-1
+        base = row_start[r_of]
+        keep_len = i_loc + 1
+        bad_len = n_r[r_of] - 1 - i_loc
+        logl = (
+            (CK[base + i_loc + 1] - CK[base])
+            + length_prior_flat(keep_len)
+            + (CB[base + n_r[r_of]] - CB[base + i_loc + 1])
+            + length_prior_flat(bad_len)
+        )
+        best = _segmented_argmax(logl, cand_starts)
+        cut_end = (best - cand_starts) - 1  # back to local i
+        if max_tail is not None:
+            cut_end = np.maximum(cut_end, n_r - max_tail - 1)
+
+    if do_head:
+        k1 = cut_end
+        # candidate local i in [-1, k1] → k1 + 2 candidates per row
+        cand_counts = k1 + 2
+        cand_starts = np.concatenate(([0], np.cumsum(cand_counts)))[:-1]
+        total = int(cand_counts.sum())
+        g = np.arange(total, dtype=np.int64)
+        r_of = np.repeat(np.arange(R, dtype=np.int64), cand_counts)
+        i_loc = g - cand_starts[r_of] - 1  # -1 .. k1
+        base = row_start[r_of]
+        bad_len = i_loc + 1
+        keep_len = k1[r_of] - i_loc
+        logl = (
+            (CB[base + i_loc + 1] - CB[base])
+            + length_prior_flat(bad_len)
+            + (CK[base + k1[r_of] + 1] - CK[base + i_loc + 1])
+            + length_prior_flat(keep_len)
+        )
+        best = _segmented_argmax(logl, cand_starts)
+        cut_begin = best - cand_starts  # local i + 1
+        if max_head is not None:
+            cut_begin = np.minimum(cut_begin, max_head)
+
+    # decision: QC % filter, size filter, empty rule — all vectorized
+    keep = (cut_end - cut_begin) > 0
+    if min_size > 0:
+        keep &= (cut_end - cut_begin) >= min_size
+    if min_qc_phred > 0 and min_qc_length > 0:
+        good = np.concatenate(
+            ([0], np.cumsum((q_flat >= min_qc_phred).astype(np.int64)))
+        )
+        lo = row_start + np.maximum(cut_begin, 0)
+        hi = row_start + np.minimum(cut_end, n_r - 1) + 1
+        hi = np.maximum(hi, lo)
+        n_good = good[hi] - good[lo]
+        kept_len = np.maximum(cut_end - cut_begin + 1, 1)
+        frac = n_good.astype(np.float64) / kept_len.astype(np.float64) * 100.0
+        keep &= frac >= min_qc_length
+    return cut_begin, cut_end, keep

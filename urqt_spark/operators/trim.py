@@ -1,0 +1,121 @@
+"""The trim operator: UrQt's segmentation as an Arrow-vectorized
+pandas UDF.
+
+This is the pipeline's only Python hot path.  Everything else
+(heuristics, scrub, filters, aggregation) stays JVM-side in
+whole-stage codegen; here we cross the Arrow boundary once per batch,
+run the flat batch kernel (urqt_spark.kernel.trim_batch — zero per-row
+Python in the scans), and return a struct column.
+
+Reference lifecycle being replaced: ``Read::run`` →
+``Segmentation::polyNtrimEstimate`` → ``set_trim``
+(``/root/reference/Read.cpp:440-449``,
+``/root/reference/Segmentation.cpp:166-284``).  The reference's thread
+pool + ordered queues (mThread/*) are subsumed by Spark task
+parallelism — order is NOT preserved, determinism comes from keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from urqt_spark.config import FilterConfig
+from urqt_spark.functions.quality import GOOD_CHARS_PATTERN, MAX_LINE_LEN
+from urqt_spark.kernel import phred_lut, trim_batch
+
+TRIM_SCHEMA = StructType(
+    [
+        StructField("cut_begin", IntegerType(), False),
+        StructField("cut_end", IntegerType(), False),
+        StructField("n_lines", IntegerType(), False),
+        StructField("keep", BooleanType(), False),
+        StructField("kept_text", StringType(), True),
+    ]
+)
+
+
+def batch_line_qualities(contents: pd.Series) -> tuple[np.ndarray, np.ndarray, list]:
+    """Per-line qualities for a batch: (q_flat, counts, line_lists).
+
+    Implements the functions/quality.py contract with pandas vectorized
+    string ops over the flattened line array (compiled-regex C loop,
+    not per-row Python).
+    """
+    line_lists = contents.fillna("").str.split("\n").tolist()
+    counts = np.fromiter((len(x) for x in line_lists), dtype=np.int64, count=len(line_lists))
+    flat = pd.Series(
+        [ln for row in line_lists for ln in row], dtype="object", copy=False
+    )
+    L = flat.str.len().to_numpy(dtype=np.float64)
+    g = flat.str.count(GOOD_CHARS_PATTERN).to_numpy(dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(L > 0, g / np.maximum(L, 1.0), 0.0)
+        lp = np.where(L <= MAX_LINE_LEN, 1.0, MAX_LINE_LEN / np.maximum(L, 1.0))
+        q = np.floor(44.0 * ratio * lp + 0.5)
+    q = np.clip(q, 1, 44).astype(np.int64)
+    return q, counts, line_lists
+
+
+def make_trim_udf(cfg: FilterConfig):
+    """Build the scalar pandas UDF ``content -> struct(trim)``.
+
+    The LUT is precomputed on the driver and closed over — the
+    reference's static LUT hoist (``Segmentation.cpp:25-63``) becomes a
+    task-closure constant (auto-broadcast with the serialized UDF).
+    """
+    lut = phred_lut(cfg.threshold)
+
+    @F.pandas_udf(TRIM_SCHEMA)
+    def trim_udf(contents: pd.Series) -> pd.DataFrame:
+        q_flat, counts, line_lists = batch_line_qualities(contents)
+        cb, ce, keep = trim_batch(
+            q_flat,
+            counts,
+            threshold=cfg.threshold,
+            pos=cfg.pos,
+            max_head=cfg.max_head,
+            max_tail=cfg.max_tail,
+            min_qc_phred=cfg.min_qc_phred,
+            min_qc_length=cfg.min_qc_length,
+            min_size=cfg.min_size,
+            lut=lut,
+        )
+        kept = [
+            "\n".join(rows[b : e + 1]) if k and e >= b else ""
+            for rows, b, e, k in zip(line_lists, cb, ce, keep)
+        ]
+        return pd.DataFrame(
+            {
+                "cut_begin": cb.astype(np.int32),
+                "cut_end": ce.astype(np.int32),
+                "n_lines": counts.astype(np.int32),
+                "keep": keep,
+                "kept_text": kept,
+            }
+        )
+
+    return trim_udf
+
+
+def with_trim(df, cfg: FilterConfig, content_col: str = "content"):
+    """``df -> df + (cut_begin, cut_end, n_lines, keep, kept_text)``."""
+    trim_udf = make_trim_udf(cfg)
+    t = F.col("_trim")
+    return (
+        df.withColumn("_trim", trim_udf(F.col(content_col)))
+        .withColumn("cut_begin", t["cut_begin"])
+        .withColumn("cut_end", t["cut_end"])
+        .withColumn("n_lines", t["n_lines"])
+        .withColumn("keep", t["keep"])
+        .withColumn("kept_text", t["kept_text"])
+        .drop("_trim")
+    )

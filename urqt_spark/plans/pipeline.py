@@ -1,0 +1,133 @@
+"""The full quality-filter plan (SURVEY.md §7.1).
+
+::
+
+    corpus (repo, path, commit, lang, content)
+      │ partition pruning on lang (filter pushed to the scan)
+      ▼ salted repartition by (repo, hash(path) % SALT)   — skew defuse
+    trim      pandas UDF → cut_begin/cut_end/n_lines/keep/kept_text
+    langid    pandas UDF → lang_pred, lang_conf            (optional)
+    perplex   pandas UDF → ppl                             (optional)
+    heuristics  JVM exprs → line stats, alnum ratio, qc_pass
+    scrub     JVM regexp_replace chain → content_scrubbed, sha
+    decision  keep = trim.keep ∧ qc_pass
+      ▼
+    kept rows + metrics aggregation
+
+Only the salted repartition shuffles; every stage after it is narrow.
+Heuristics and scrub deliberately stay JVM-side (whole-stage codegen) —
+Python is spent only where Spark has no primitive (the DP kernel and
+the models).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from urqt_spark.config import FilterConfig
+from urqt_spark.functions.scrub import scrub_spark_col
+from urqt_spark.operators.trim import with_trim
+
+
+def salted_repartition(df: DataFrame, cfg: FilterConfig) -> DataFrame:
+    """Defuse monorepo skew: one giant repo would otherwise pin a
+    single task (SURVEY.md §4).  Salt = hash(path) % buckets keeps
+    (repo, salt) granularity fine enough for even task sizing while
+    preserving repo locality for downstream per-repo aggregation."""
+    return df.repartition(
+        cfg.shuffle_partitions,
+        F.col("repo"),
+        F.pmod(F.xxhash64(F.col("path")), F.lit(cfg.salt_buckets)),
+    )
+
+
+def with_heuristics(df: DataFrame, cfg: FilterConfig, text_col: str = "kept_text") -> DataFrame:
+    """Gopher/C4-style quality heuristics re-targeted at code, all as
+    built-in column expressions (no Python)."""
+    lines = F.split(F.col(text_col), "\n")
+    text_len = F.length(F.col(text_col))
+    alnum_len = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+    line_lens = F.transform(lines, lambda x: F.length(x))
+    df = (
+        df.withColumn("kept_lines", F.size(lines))
+        .withColumn("kept_chars", text_len)
+        .withColumn(
+            "mean_line_len",
+            F.when(F.size(lines) > 0, text_len / F.size(lines)).otherwise(F.lit(0.0)),
+        )
+        .withColumn("longest_line", F.coalesce(F.array_max(line_lens), F.lit(0)))
+        .withColumn(
+            "alnum_ratio",
+            F.when(text_len > 0, alnum_len / text_len).otherwise(F.lit(0.0)),
+        )
+    )
+    qc = (
+        (F.col("kept_lines") >= F.lit(cfg.min_lines))
+        & (F.col("mean_line_len") <= F.lit(cfg.max_mean_line_len))
+        & (F.col("alnum_ratio") >= F.lit(cfg.min_alnum_ratio))
+        & (F.col("longest_line") <= F.lit(cfg.max_longest_line))
+    )
+    return df.withColumn("qc_pass", qc)
+
+
+def with_scrub(df: DataFrame, text_col: str = "kept_text") -> DataFrame:
+    scrubbed = scrub_spark_col(F.col(text_col))
+    return df.withColumn("content_scrubbed", scrubbed).withColumn(
+        "scrubbed_sha256", F.sha2(F.col("content_scrubbed"), 256)
+    )
+
+
+def quality_filter_plan(
+    df: DataFrame,
+    cfg: FilterConfig | None = None,
+    langs: list[str] | None = None,
+    repartition: bool = True,
+) -> DataFrame:
+    """Assemble the full plan.  ``langs`` → pushed-down partition/scan
+    pruning (the reference's per-file CLI loop becomes a predicate)."""
+    cfg = cfg or FilterConfig()
+    if langs:
+        df = df.filter(F.col("lang").isin(langs))
+    if repartition:
+        df = salted_repartition(df, cfg)
+    df = with_trim(df, cfg)
+    if cfg.heuristics_enabled:
+        df = with_heuristics(df, cfg)
+        df = df.withColumn("keep", F.col("keep") & F.col("qc_pass"))
+    if cfg.langid_enabled:
+        from urqt_spark.functions.langid import with_langid
+
+        df = with_langid(df)
+    if cfg.perplexity_enabled:
+        from urqt_spark.functions.perplexity import with_perplexity
+
+        df = with_perplexity(df)
+    if cfg.scrub_enabled:
+        df = with_scrub(df)
+    return df
+
+
+def kept_rows(df: DataFrame) -> DataFrame:
+    """The surviving table (reference: the written fastq, Read.cpp:573-611)."""
+    return df.filter(F.col("keep"))
+
+
+def metrics(df: DataFrame) -> DataFrame:
+    """Global stats — the reference's static counters
+    (``/root/reference/Read.cpp:22-47``) as one partial+final hash agg."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total_files"),
+        F.sum(F.col("keep").cast("long")).alias("kept_files"),
+        F.sum((~F.col("keep")).cast("long")).alias("dropped_files"),
+        F.sum(
+            (F.col("cut_begin") > 0).cast("long")
+            + (F.col("cut_end") < F.col("n_lines") - 1).cast("long")
+        ).alias("trim_events"),
+        F.sum("n_lines").alias("total_lines"),
+        F.sum(
+            F.when(
+                F.col("keep"), F.col("cut_end") - F.col("cut_begin") + 1
+            ).otherwise(F.lit(0))
+        ).alias("kept_lines_total"),
+    )

@@ -1,0 +1,33 @@
+"""SparkSession builder with the scale-hygiene defaults this pipeline
+assumes (AQE, Arrow, bounded Arrow batches for large ``content``)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "urqt-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    arrow_batch_rows: int = 2048,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # content values are whole source files — cap rows per Arrow
+        # batch so executor memory stays bounded (the reference caps
+        # its in-flight buffer the same way, UrQt.cpp:74)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
