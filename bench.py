@@ -1,0 +1,127 @@
+"""Headline benchmark.  Runs the flagship quality-filter pipeline over
+a deterministic synthetic code corpus (sized to the sf of
+``$SPARK_GRAFT_SF_DIR``) plus the operator queries over the driver's
+parquet tables, on ``local[$SPARK_GRAFT_CPUS]``.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "files_per_sec": ...}``
+
+The corpus parquet is cached under ``.bench_cache/`` keyed by size so
+repeat runs measure Spark, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# corpus rows per sf (FIXTURES.md §1: bench = 200k at sf0.1)
+_SF_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def sf_of(path: str) -> str:
+    for k in _SF_ROWS:
+        if k in path:
+            return k
+    return "sf0.1"
+
+
+def corpus_parquet(n_rows: int) -> str:
+    os.makedirs(CACHE, exist_ok=True)
+    out = os.path.join(CACHE, f"corpus_{n_rows}.parquet")
+    if not os.path.exists(out):
+        from urqt_spark.sources.corpus import generate_corpus
+
+        df = generate_corpus(n_rows, seed=42, skew_repo_frac=0.4, compute_labels=False)
+        df.to_parquet(out, index=False)
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from urqt_spark.config import FilterConfig
+    from urqt_spark.plans.pipeline import metrics, quality_filter_plan
+    from urqt_spark.session import get_spark
+
+    sf = sf_of(SF_DIR)
+    n_rows = _SF_ROWS[sf]
+    corpus_path = corpus_parquet(n_rows)
+
+    spark = get_spark(
+        "urqt-bench", master=f"local[{CPUS}]", shuffle_partitions=max(int(CPUS), 32)
+    )
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # -- flagship: full pipeline (trim kernel + heuristics + langid +
+    #    perplexity + scrub) over the synthetic code corpus
+    corpus = spark.read.parquet(corpus_path)
+    cfg = FilterConfig()
+    timed(
+        "quality_filter_full",
+        lambda: metrics(quality_filter_plan(corpus, cfg)).collect(),
+    )
+    # -- trim-only variant (kernel throughput without model stages)
+    cfg_fast = FilterConfig(
+        langid_enabled=False, perplexity_enabled=False, scrub_enabled=False
+    )
+    timed(
+        "quality_filter_trim_only",
+        lambda: metrics(quality_filter_plan(corpus, cfg_fast)).collect(),
+    )
+
+    # -- operator queries over the driver tables
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in (
+        "trim_words",
+        "exact_dedup",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "simhash_neardup",
+        "ann_topk",
+        "lsh_ann_pairs",
+        "pricing_summary",
+        "order_drop_propagation",
+        "events_sessions",
+    ):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR)._jdf.count())
+
+    total = round(sum(timings.values()), 3)
+    files_per_sec = round(
+        n_rows / max(timings["quality_filter_full"], 1e-9), 1
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "quality_filter pipeline + operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "corpus_rows": n_rows,
+                "files_per_sec": files_per_sec,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""spark-submit entry point (BASELINE.json north_rule packaging).
+
+    spark-submit --py-files dist/quality_filter.zip jobs/run_filter.py \
+        --input /data/corpus_parquet --output /data/filtered \
+        --lineage /data/lineage --threshold 20 --langs python,java
+
+Mirrors the reference CLI surface (/root/reference/UrQt.cpp:46-163)
+where a knob makes sense for files-instead-of-reads; resumable via the
+per-partition lineage protocol (urqt_spark.plans.lineage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="UrQt-style Spark quality filter")
+    p.add_argument("--input", required=True, help="input parquet/iceberg path")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--lineage", required=True, help="lineage table directory")
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    # reference option analogues
+    p.add_argument("--threshold", "--t", type=int, default=20)
+    p.add_argument("--pos", default="both", choices=["head", "tail", "both"])
+    p.add_argument("--max-head-trim", type=int, default=None)
+    p.add_argument("--max-tail-trim", type=int, default=None)
+    p.add_argument("--min-read-size", type=int, default=0)
+    p.add_argument("--min-qc-phred", type=int, default=0)
+    p.add_argument("--min-qc-length", type=float, default=0.0)
+    # scale knobs
+    p.add_argument("--langs", default=None, help="comma list → partition pruning")
+    p.add_argument("--n-parts", type=int, default=256)
+    p.add_argument("--salt-buckets", type=int, default=64)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--no-langid", action="store_true")
+    p.add_argument("--no-perplexity", action="store_true")
+    p.add_argument("--no-scrub", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from urqt_spark.config import FilterConfig
+    from urqt_spark.plans.lineage import run_with_lineage
+
+    spark = SparkSession.builder.appName("urqt-quality-filter").getOrCreate()
+    if args.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+
+    cfg = FilterConfig(
+        threshold=args.threshold,
+        pos=args.pos,
+        max_head=args.max_head_trim,
+        max_tail=args.max_tail_trim,
+        min_size=args.min_read_size,
+        min_qc_phred=args.min_qc_phred,
+        min_qc_length=args.min_qc_length,
+        salt_buckets=args.salt_buckets,
+        langid_enabled=not args.no_langid,
+        perplexity_enabled=not args.no_perplexity,
+        scrub_enabled=not args.no_scrub,
+    )
+    if args.format == "iceberg":
+        df = spark.read.format("iceberg").load(args.input)
+    else:
+        df = spark.read.parquet(args.input)
+    if args.langs:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("lang").isin(args.langs.split(",")))
+
+    computed = run_with_lineage(
+        spark, df, args.output, args.lineage, cfg, n_parts=args.n_parts
+    )
+    print(json.dumps({"computed_partitions": computed, "n": len(computed)}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Local rehearsal of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same sf directory; compare row count, column names, and an
+order-insensitive value hash (floats canonicalized to 4dp strings).
+
+Usage: python scripts/verify_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    for c in cols:
+        s = d[c]
+        if s.dtype.kind == "f":
+            d[c] = s.round(4).map(lambda x: f"{x:.4f}")
+        elif s.dtype.kind == "b":
+            d[c] = s.map(lambda x: str(bool(x)))
+        elif s.dtype == object:
+            d[c] = s.map(
+                lambda x: str(bool(x)) if isinstance(x, bool) else str(x)
+            )
+        else:
+            d[c] = s.astype(str)
+    rows = sorted("\x01".join(r) for r in d.itertuples(index=False, name=None))
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    return len(d), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from urqt_spark.session import get_spark
+
+    spark = get_spark("verify-entry", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:28s} SPARK ERROR: {exc}")
+            failures.append(name)
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"{name:28s} rows={len(sdf):6d} (rows-only, no oracle) {t1-t0:5.1f}s")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:28s} ORACLE ERROR: {exc}")
+            failures.append(name)
+            continue
+        sn, sc, sh = canon(sdf)
+        on, oc, oh = canon(odf)
+        ok = (sn, sc, sh) == (on, oc, oh)
+        print(
+            f"{name:28s} rows={sn:6d}/{on:6d} cols={'=' if sc == oc else 'DIFF'} "
+            f"hash={'MATCH' if sh == oh else 'MISMATCH'} {t1-t0:5.1f}s"
+        )
+        if not ok:
+            failures.append(name)
+            if sc != oc:
+                print(f"    spark cols:  {sc}\n    oracle cols: {oc}")
+    spark.stop()
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,137 @@
+"""Dedup-family operator tests on constructed near/exact duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different words about spark shuffles and joins here"),
+        (4, "completely different words about spark shuffles and joins here"),
+        (5, "one more unrelated document mentioning parquet files and arrow"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    from urqt_spark.operators.dedup import exact_dedup, exact_dedup_groups
+
+    g = {r.keep_id: r.n_copies for r in exact_dedup_groups(docs).collect()}
+    assert g[0] == 2 and g[3] == 2 and g[5] == 1
+    surv = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert surv == [0, 2, 3, 5]
+
+
+def test_ngram_jaccard_pairs(docs):
+    from urqt_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(3, 4)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_neardups(docs):
+    from urqt_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    # exact dups always collide in every band; the near pair (0,2) has
+    # jaccard ~0.5 → found with 16 bands of 4
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(3, 4)] == 1.0
+    assert (0, 2) in pairs
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    from urqt_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    for k, v in lsh.items():
+        assert exact[k] == v  # candidates verified with the same exact jaccard
+
+
+def test_simhash_neardups(spark):
+    # SimHash needs long documents for near-dup hamming to be small: a
+    # 1-token edit flips each fingerprint bit only when that bit's
+    # majority margin is ~0, so flip probability shrinks with doc
+    # length.  300 tokens, one word changed → hamming well under 8.
+    from urqt_spark.operators.dedup import simhash_neardup_pairs
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta"]
+    base = " ".join(words[i % 7] + str(i % 13) for i in range(300))
+    near = base.rsplit(" ", 1)[0] + " changedword"
+    other = " ".join("xyz" + str(i * 7 % 17) for i in range(300))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(df, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0  # exact dup → identical fingerprint
+    assert pairs.get((0, 2), 99) <= 8  # near dup within the band
+    assert not any(3 in p for p in pairs)  # unrelated doc not paired
+
+
+def test_similarity_topk(spark):
+    import numpy as np
+
+    from urqt_spark.operators.similarity import all_pairs_neardup, brute_force_topk
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(20):
+        noise = rng.standard_normal(16) * (0.01 if i < 5 else 10.0)
+        rows.append((i, (base + noise).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = brute_force_topk(df, base.tolist(), k=5)
+    got = [r.vec_id for r in top.collect()]
+    assert set(got) == {0, 1, 2, 3, 4}  # the low-noise copies win
+    pairs = all_pairs_neardup(df, threshold=0.99)
+    ids = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert ids == {(a, b) for a in range(5) for b in range(5) if a < b}
+
+
+def test_lsh_ann_agrees_with_brute_force(spark):
+    import numpy as np
+
+    from urqt_spark.operators.similarity import all_pairs_neardup, lsh_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(4):  # 4 tight clusters
+        center = rng.standard_normal(16) * 3
+        for j in range(5):
+            rows.append((c * 5 + j, (center + rng.standard_normal(16) * 0.05).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b) for r in all_pairs_neardup(df, threshold=0.99).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(
+            df, dim=16, threshold=0.99, n_planes=8, n_tables=8
+        ).collect()
+    }
+    assert approx <= exact
+    assert len(approx) >= 0.9 * len(exact)  # high recall on tight clusters

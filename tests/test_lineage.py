@@ -1,0 +1,58 @@
+"""Resume/lineage protocol (FIXTURES.md §6): kill after k of n
+partitions, re-run, output identical to an uninterrupted run and only
+the missing partitions recomputed."""
+
+import pandas as pd
+import pytest
+
+from urqt_spark.config import FilterConfig
+from urqt_spark.plans.lineage import done_part_ids, run_with_lineage
+
+CFG = FilterConfig(langid_enabled=False, perplexity_enabled=False)
+N_PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, corpus_small):
+    return spark.createDataFrame(
+        corpus_small[["repo", "path", "commit", "lang", "content"]]
+    )
+
+
+def _read_all(spark, out_dir):
+    df = spark.read.parquet(f"{out_dir}/part=*").toPandas()
+    return df.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+
+
+def test_kill_and_resume(spark, corpus_df, tmp_path_factory):
+    base = tmp_path_factory.mktemp("lineage")
+    out_a, lin_a = str(base / "out_a"), str(base / "lin_a")
+    out_b, lin_b = str(base / "out_b"), str(base / "lin_b")
+
+    # uninterrupted reference run
+    full = run_with_lineage(spark, corpus_df, out_a, lin_a, CFG, n_parts=N_PARTS)
+    assert sorted(full) == list(range(N_PARTS))
+
+    # killed run: only 4 partitions commit
+    first = run_with_lineage(
+        spark, corpus_df, out_b, lin_b, CFG, n_parts=N_PARTS, fail_after=4
+    )
+    assert len(first) == 4
+    assert done_part_ids(spark, lin_b) == set(first)
+
+    # resume: computes exactly the other 4
+    second = run_with_lineage(spark, corpus_df, out_b, lin_b, CFG, n_parts=N_PARTS)
+    assert sorted(first + second) == list(range(N_PARTS))
+    assert set(first).isdisjoint(second)
+
+    # outputs identical
+    a, b = _read_all(spark, out_a), _read_all(spark, out_b)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rerun_is_noop(spark, corpus_df, tmp_path_factory):
+    base = tmp_path_factory.mktemp("lineage2")
+    out, lin = str(base / "out"), str(base / "lin")
+    run_with_lineage(spark, corpus_df, out, lin, CFG, n_parts=4)
+    again = run_with_lineage(spark, corpus_df, out, lin, CFG, n_parts=4)
+    assert again == []  # everything checkpointed, nothing recomputed

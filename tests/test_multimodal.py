@@ -1,0 +1,40 @@
+"""Multimodal plumbing: binary payload columns through mapInPandas with
+the stubbed deterministic decoder (no codec libraries in container)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from urqt_spark.operators.multimodal import (
+    decode_image,
+    frame_sample_plan,
+    image_features,
+    synth_media,
+)
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", fake=False)
+    w, h, luma = decode_image(b"abc", fake=True)
+    assert decode_image(b"abc", fake=True) == (w, h, luma)  # deterministic
+    assert 16 <= w < 80 and 16 <= h < 80 and 0 <= luma <= 1
+
+
+def test_image_features_pipeline(spark):
+    media = synth_media(spark, n=30)
+    feats = image_features(media, fake_decode=True)
+    assert "payload" not in feats.columns  # payload never leaves the scan stage
+    got = feats.toPandas()
+    assert len(got) == 30
+    assert got.sha256.nunique() == 30
+    assert (got.width >= 16).all() and (got.mean_luma <= 1.0).all()
+    # downstream relational agg over derived features
+    agg = feats.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sum(r.n for r in agg) == 30
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, n=9).withColumn("n_bytes", F.lit(4096 * 90))
+    frames = frame_sample_plan(media, every_n=30)
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 3 for r in per)  # 90 frames sampled every 30

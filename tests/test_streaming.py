@@ -1,0 +1,35 @@
+"""Structured Streaming variant: same plan over a file-source stream,
+availableNow trigger, exactly-once file sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from urqt_spark.streaming.filter_stream import start_filter_sink, stream_quality_filter
+
+
+def test_stream_matches_batch(spark, corpus_small, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+
+    inputs = corpus_small[["repo", "path", "commit", "lang", "content"]]
+    spark.createDataFrame(inputs).repartition(4).write.parquet(in_dir)
+
+    filtered = stream_quality_filter(spark, in_dir)
+    q = start_filter_sink(filtered, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    expected_keep = corpus_small[corpus_small.expected_keep]
+    assert sorted(got.path) == sorted(expected_keep.path)
+    m = got.merge(
+        expected_keep[["path", "expected_scrubbed_sha256"]], on="path", validate="1:1"
+    )
+    assert (m.scrubbed_sha256 == m.expected_scrubbed_sha256).all()
+
+    # restart with same checkpoint: no duplicate output (exactly-once)
+    q2 = start_filter_sink(
+        stream_quality_filter(spark, in_dir), out_dir, ckpt, available_now=True
+    )
+    q2.awaitTermination(300)
+    again = spark.read.parquet(out_dir)
+    assert again.count() == len(got)

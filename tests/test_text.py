@@ -1,0 +1,43 @@
+"""Text-analysis column builders."""
+
+from pyspark.sql import functions as F
+
+from urqt_spark.functions.text import (
+    alnum_ratio,
+    mean_word_len,
+    n_bpe_ish_tokens,
+    n_tokens,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+)
+
+
+def test_text_columns(spark):
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "x=1;y=2"),
+        (2, ""),
+        (3, "the the the of of and"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = df.select(
+        "id",
+        n_tokens(F.col("t")).alias("nt"),
+        n_bpe_ish_tokens(F.col("t")).alias("nb"),
+        F.round(stopword_ratio(F.col("t")), 4).alias("sw"),
+        F.round(alnum_ratio(F.col("t")), 4).alias("ar"),
+        F.round(mean_word_len(F.col("t")), 4).alias("mwl"),
+        quality_score(F.col("t")).alias("qs"),
+        rolling_fingerprint(F.col("t")).alias("fp"),
+    ).toPandas().set_index("id")
+    assert out.loc[0, "nt"] == 4
+    assert out.loc[0, "sw"] == 0.25  # "the" of 4
+    assert out.loc[1, "nb"] == 7  # x = 1 ; y = 2
+    assert out.loc[3, "sw"] == 1.0
+    assert out.loc[2, "qs"] <= 0.5
+    assert 0 <= out.loc[0, "qs"] <= 1.0
+    # fingerprint is whitespace/case-normalized
+    df2 = spark.createDataFrame([(0, "THE  quick   brown fox")], ["id", "t"])
+    fp2 = df2.select(rolling_fingerprint(F.col("t")).alias("fp")).head().fp
+    assert fp2 == out.loc[0, "fp"]

@@ -1,0 +1,83 @@
+"""Text-analysis column builders — JVM-side (whole-stage codegen), no
+Python: token counting, quality scoring, stopword ratio, language-class
+signals.  These are the relational-layer complements of the model UDFs
+(langid/perplexity) and power the text-analysis queries in
+``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# a small multilingual stopword inventory (public knowledge)
+STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "it",
+    "el", "los", "de", "la", "que",
+    "der", "und", "die", "das",
+    "le", "les", "un", "une",
+]
+
+# BPE-ish subword split: runs of letters, runs of digits, or single
+# non-space symbols — a cheap deterministic proxy for tokenizer counts
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(whitespace_tokens(text))
+
+
+def n_bpe_ish_tokens(text: Column) -> Column:
+    """Count BPE-ish subword tokens without exploding: remove all
+    matches and diff the lengths is wrong for variable-length tokens,
+    so use regexp_count (Spark 3.5+)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.filter(
+        F.transform(whitespace_tokens(text), lambda w: F.lower(w)),
+        lambda w: w != "",
+    )
+    sw = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    return F.when(F.size(toks) > 0, sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def alnum_ratio(text: Column) -> Column:
+    L = F.length(text)
+    a = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", ""))
+    return F.when(L > 0, a / L).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = whitespace_tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score (C4/Gopher-flavored): rewards
+    alnum density, plausible word lengths and some stopword mass."""
+    wl = mean_word_len(text)
+    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round(
+        F.least(
+            F.lit(1.0),
+            alnum_ratio(text) * 0.5 + stopword_ratio(text) * 0.2 + wl_ok * 0.3,
+        ),
+        4,
+    )
+
+
+def rolling_fingerprint(text: Column, window: int = 64) -> Column:
+    """Content-defined document fingerprint: xxhash64 of the
+    whitespace-normalized lowercased text (stable under formatting
+    noise) — the cheap JVM-side cousin of minhash."""
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    return F.xxhash64(norm)

@@ -1,0 +1,302 @@
+"""Deduplication operators for a training-data pipeline.
+
+Four families, each a DataFrame → DataFrame transformation:
+
+* exact      — sha256 hash groupBy (shuffle on the hash, partial agg
+               map-side; the canonical Spark exact-dedup)
+* ngram      — exact n-gram Jaccard via shingle explode + equi-join +
+               group (deterministic, SQL-expressible → DuckDB oracle)
+* minhash    — MinHash + LSH banding (the 100-TB-scale path: candidate
+               generation via band-bucket equi-join instead of the
+               quadratic all-pairs; candidates verified with exact
+               Jaccard so output is deterministic)
+* simhash    — 64-bit SimHash fingerprints, near-dup via 16-bit-chunk
+               banding + Hamming verify
+
+Scale notes: all joins here are equi-joins on content-derived keys, so
+Catalyst shuffles on the key and AQE handles skew; nothing is
+broadcast-sensitive except the (tiny) band table in minhash.  No
+collect() anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-group exact duplicates: one row per distinct content with
+    the representative (min id) and multiplicity."""
+    return (
+        df.withColumn("text_sha", F.sha2(F.col(text_col), 256))
+        .groupBy("text_sha")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min(F.col(id_col)).cast("long").alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Surviving rows only (first id per distinct content)."""
+    groups = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(groups, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles (shared by ngram-jaccard and minhash)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles_col(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles as an array column — built-in
+    functions only (split + transform over an index sequence), so the
+    exact same shingle set is expressible in the DuckDB oracle."""
+    words = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n_sh - F.lit(1))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), F.lit(n)))
+    )
+    return F.array_distinct(
+        F.when(n_sh > 0, sh).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle explode + equi-join.
+
+    Deterministic and oracle-checkable; at 100 TB you run
+    :func:`minhash_lsh_pairs` instead — same output contract, LSH
+    candidate generation."""
+    sh = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        word_shingles_col(text_col, n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_base_hash(shingle_list: list[str]) -> np.ndarray:
+    out = np.empty(len(shingle_list), dtype=np.uint64)
+    P, B = np.uint64(0x100000001B3), np.uint64(0xCBF29CE484222325)
+    for i, s in enumerate(shingle_list):
+        h = B
+        for byte in s.encode("utf-8", "ignore"):
+            h = (h ^ np.uint64(byte)) * P
+        out[i] = h
+    return out
+
+
+def make_minhash_udf(num_perm: int = 64, seed: int = 42):
+    """MinHash signature UDF: shingle array → array<long> of num_perm
+    minima under (a*x + b) mod Mersenne61 permutations.  The (a, b)
+    tables are fixed-seed driver constants closed over by the UDF
+    (broadcast-with-closure, like the reference's LUT)."""
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    Bv = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_udf(shingles: pd.Series) -> pd.Series:
+        sigs = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                sigs.append([0] * num_perm)
+                continue
+            x = _shingle_base_hash(list(sh)) % _MERSENNE  # (S,)
+            # (S, P) permuted values; min over shingles per permutation
+            v = (x[:, None] * A[None, :] + Bv[None, :]) % _MERSENNE
+            sigs.append(v.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(sigs)
+
+    return minhash_udf
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs at scale: signature → band buckets → equi-join on
+    (band, bucket-hash) → exact-Jaccard verify of candidates only.
+
+    With 16 bands × 4 rows the S-curve crosses ~0.5 — candidates with
+    true Jaccard ≥ threshold are found with high probability while the
+    join stays linear in data size (no all-pairs)."""
+    rows = num_perm // bands
+    sh = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        word_shingles_col(text_col, n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    sig = sh.withColumn("sig", make_minhash_udf(num_perm, seed)(F.col("shingles")))
+    banded = sig.select(
+        "id",
+        "shingles",
+        "n_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "shingles", "n_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def make_simhash_udf(seed: int = 42):
+    """64-bit SimHash over word tokens: sign-sum of token hash bits."""
+
+    @F.pandas_udf(LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        P, B = np.uint64(0x100000001B3), np.uint64(0xCBF29CE484222325)
+        for r, t in enumerate(texts):
+            toks = (t or "").split(" ")
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for i, s in enumerate(toks):
+                h = B
+                for byte in s.encode("utf-8", "ignore"):
+                    h = (h ^ np.uint64(byte)) * P
+                hs[i] = h
+            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+            fp = np.uint64(0)
+            fp_bits = (votes > 0).astype(np.uint64)
+            fp = np.bitwise_or.reduce(fp_bits << np.arange(64, dtype=np.uint64))
+            out[r] = fp.astype(np.int64)
+        return pd.Series(out)
+
+    return simhash_udf
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into four
+    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
+    equi-join on chunks, verify exact Hamming distance."""
+    fp = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        make_simhash_udf()(F.col(text_col)).alias("fp"),
+    )
+    chunks = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("fp"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

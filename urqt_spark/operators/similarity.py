@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, same contract:
+
+* brute-force cosine top-k — the exact baseline; all math in built-in
+  higher-order functions (zip_with / aggregate), JVM-side, no Python.
+* LSH-bucketed ANN — the 100-TB path: random-hyperplane signatures
+  bucket the vectors; only same-bucket candidates are scored.  The
+  hyperplane matrix is a fixed-seed driver constant (broadcast with
+  the UDF closure).
+
+Cosine is written with an explicit fused-free formula (dot / sqrt·sqrt,
+sequential aggregate) so the DuckDB oracle reproduces the value to
+rounding precision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.  The query is a
+    plan literal (array constant) — effectively broadcast; the scan is
+    a single narrow projection + TakeOrderedAndProject (no shuffle of
+    the data, only the k winners travel)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    scored = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 4).alias(
+            "cosine"
+        ),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def all_pairs_neardup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact near-duplicate pairs (cosine ≥ threshold) via self-join —
+    the small-data oracle path.  Quadratic: do NOT run at full scale;
+    use :func:`lsh_neardup_pairs` there (same output contract)."""
+    v = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_col(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def make_lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """Random-hyperplane LSH: sign pattern of ``n_planes`` projections
+    packed into one long → bucket id."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (R, D)
+        signs = (M @ planes) > 0  # (R, P)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    return bucket_udf
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN near-dup pairs: ``n_tables`` independent hyperplane tables;
+    same-bucket candidates in any table are verified with exact cosine.
+    Join key is (table, bucket) → linear shuffle, no all-pairs."""
+    v = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    tabs = []
+    for t in range(n_tables):
+        udf = make_lsh_bucket_udf(dim, n_planes, seed=42 + t)
+        tabs.append(
+            v.withColumn("table", F.lit(t)).withColumn("bucket", udf(F.col("v")))
+        )
+    banded = tabs[0]
+    for t in tabs[1:]:
+        banded = banded.unionByName(t)
+    a, b = banded.alias("a"), banded.alias("b")
+    cos = cosine_col(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,216 @@
+"""Driver-contract query catalogue: every operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus, where SQL-expressible,
+a DuckDB oracle string over the same parquet tables.
+
+Cross-engine exactness rules used throughout (so the driver's
+row-count / schema / value-hash comparison passes):
+
+* every computed column is aliased identically in both engines
+* floats are ``round(x, 4)`` in both engines; ints cast to BIGINT
+* the quality→probability LUT and the per-word log-terms are embedded
+  as shared 17-significant-digit double literals — neither engine
+  computes ``ln``/``pow`` on the hot path, so there is no libm drift
+* prefix sums run in the same order (np.cumsum per doc ↔ window SUM
+  ORDER BY i ROWS UNBOUNDED PRECEDING)
+* argmax tie-break is (logL DESC, i ASC) in both
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from urqt_spark.kernel import LOG_QUARTER, phred_lut
+
+# ---------------------------------------------------------------------------
+# shared word-quality model for the `documents` table
+# ---------------------------------------------------------------------------
+# The documents table has no newlines, so the trim unit is the WORD and
+# its quality is a simple deterministic map: q = clamp(len(word)*5, 1, 44).
+# (The code corpus uses the full line-quality contract; this map exists
+# so the DP kernel has an oracle-checkable instance on driver data.)
+
+T = 20  # threshold for the documents-table trim queries
+_LUT = phred_lut(T)
+_EPS = np.finfo(np.float64).tiny
+_LK = np.log(np.maximum(_LUT, _EPS))  # keep term per q
+_LB = LOG_QUARTER + np.log(np.maximum(1.0 - _LUT, _EPS))  # bad term per q
+
+
+def _fmt(x: float) -> str:
+    return repr(float(x))
+
+
+def lut_values_sql() -> str:
+    """Inline (q, lk, lb) literal table shared with the kernel arrays."""
+    rows = ",".join(
+        f"({q + 1}, {_fmt(_LK[q])}, {_fmt(_LB[q])})" for q in range(44)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS lut(q, lk, lb))"
+
+
+WORD_Q_SQL = "GREATEST(1, LEAST(44, length(w) * 5))"
+
+
+def trim_words_cte(docs_rel: str = "documents") -> str:
+    """DuckDB CTE chain computing (doc_id, cut_begin, cut_end, keep,
+    kept_words) — the exact two-scan DP the NumPy kernel runs."""
+    return f"""
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS i
+  FROM {docs_rel}
+),
+terms AS (
+  SELECT doc_id, i, lut.lk, lut.lb
+  FROM (SELECT doc_id, i, {WORD_Q_SQL} AS q FROM words) wq
+  JOIN {lut_values_sql()} lut USING (q)
+),
+cums AS (
+  SELECT doc_id, i,
+         SUM(lk) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+         SUM(lb) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM terms
+),
+doc_n AS (
+  -- n and the FINAL running cb (bit-identical to the kernel's cb[n]:
+  -- a plain SUM() aggregate might add in a different order)
+  SELECT c.doc_id, mx.n, c.cb AS cbn
+  FROM cums c
+  JOIN (SELECT doc_id, COUNT(*) AS n FROM cums GROUP BY doc_id) mx
+    ON c.doc_id = mx.doc_id AND c.i = mx.n - 1
+),
+tail_cand AS (
+  SELECT c.doc_id, c.i,
+         c.ck + (CASE WHEN c.i + 1 > 0 THEN -(c.i + 1) * ln(CAST(c.i + 1 AS DOUBLE)) ELSE 0.0 END)
+              + (d.cbn - c.cb)
+              + (CASE WHEN d.n - 1 - c.i > 0 THEN -(d.n - 1 - c.i) * ln(CAST(d.n - 1 - c.i AS DOUBLE)) ELSE 0.0 END)
+         AS logl
+  FROM cums c JOIN doc_n d USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, -1,
+         d.cbn + (CASE WHEN d.n > 0 THEN -d.n * ln(CAST(d.n AS DOUBLE)) ELSE 0.0 END)
+  FROM doc_n d
+),
+tail_best AS (
+  SELECT doc_id, i AS cut_end FROM tail_cand
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY logl DESC, i ASC) = 1
+),
+head_cand AS (
+  SELECT c.doc_id, c.i,
+         c.cb + (CASE WHEN c.i + 1 > 0 THEN -(c.i + 1) * ln(CAST(c.i + 1 AS DOUBLE)) ELSE 0.0 END)
+              + (ck1.ckk - c.ck)
+              + (CASE WHEN t.cut_end - c.i > 0 THEN -(t.cut_end - c.i) * ln(CAST(t.cut_end - c.i AS DOUBLE)) ELSE 0.0 END)
+         AS logl
+  FROM cums c
+  JOIN tail_best t USING (doc_id)
+  JOIN (SELECT c2.doc_id, c2.ck AS ckk
+        FROM cums c2 JOIN tail_best t2 ON c2.doc_id = t2.doc_id AND c2.i = t2.cut_end) ck1
+    USING (doc_id)
+  WHERE c.i <= t.cut_end
+  UNION ALL
+  SELECT t.doc_id, -1,
+         0.0 + ck1.ckk
+             + (CASE WHEN t.cut_end + 1 > 0 THEN -(t.cut_end + 1) * ln(CAST(t.cut_end + 1 AS DOUBLE)) ELSE 0.0 END)
+  FROM tail_best t
+  JOIN (SELECT c2.doc_id, c2.ck AS ckk
+        FROM cums c2 JOIN tail_best t2 ON c2.doc_id = t2.doc_id AND c2.i = t2.cut_end) ck1
+    ON t.doc_id = ck1.doc_id
+  WHERE t.cut_end >= 0
+  UNION ALL
+  SELECT doc_id, -1, 0.0 FROM tail_best WHERE cut_end < 0
+),
+head_best AS (
+  SELECT doc_id, i + 1 AS cut_begin FROM head_cand
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY logl DESC, i ASC) = 1
+),
+trim AS (
+  SELECT t.doc_id,
+         CAST(h.cut_begin AS BIGINT) AS cut_begin,
+         CAST(t.cut_end AS BIGINT) AS cut_end,
+         (t.cut_end - h.cut_begin) > 0 AS keep,
+         CAST(CASE WHEN t.cut_end >= h.cut_begin THEN t.cut_end - h.cut_begin + 1 ELSE 0 END AS BIGINT) AS kept_words
+  FROM tail_best t JOIN head_best h USING (doc_id)
+)"""
+
+
+def make_trim_words_udf():
+    """Per-row kernel on word qualities with FRESH per-doc prefix sums
+    (np.cumsum per row), bit-matching the oracle's per-doc window sums.
+    The log-term tables are the same double literals the SQL embeds."""
+    lk, lb = _LK.copy(), _LB.copy()
+
+    schema = StructType(
+        [
+            StructField("cut_begin", IntegerType(), False),
+            StructField("cut_end", IntegerType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def trim_words_udf(qarrs: pd.Series) -> pd.DataFrame:
+        cbs = np.empty(len(qarrs), dtype=np.int32)
+        ces = np.empty(len(qarrs), dtype=np.int32)
+        for r, qa in enumerate(qarrs):
+            q = np.asarray(qa, dtype=np.int64)
+            n = q.size
+            if n == 0:
+                cbs[r], ces[r] = 0, -1
+                continue
+            tlk, tlb = lk[q - 1], lb[q - 1]
+            ck = np.concatenate(([0.0], np.cumsum(tlk)))
+            cb = np.concatenate(([0.0], np.cumsum(tlb)))
+
+            def lp(L):
+                return -L * np.log(L) if L > 0 else 0.0
+
+            # tail scan: candidates i in [-1, n-1]
+            best, cut_end = -np.inf, n - 1
+            for i in range(-1, n):
+                v = ck[i + 1] + lp(float(i + 1)) + (cb[n] - cb[i + 1]) + lp(float(n - 1 - i))
+                if v > best:
+                    best, cut_end = v, i
+            # head scan: candidates i in [-1, cut_end]
+            best, cut_begin = -np.inf, 0
+            for i in range(-1, cut_end + 1):
+                v = cb[i + 1] + lp(float(i + 1)) + (ck[cut_end + 1] - ck[i + 1]) + lp(float(cut_end - i))
+                if v > best:
+                    best, cut_begin = v, i + 1
+            cbs[r], ces[r] = cut_begin, cut_end
+        return pd.DataFrame({"cut_begin": cbs, "cut_end": ces})
+
+    return trim_words_udf
+
+
+def trim_words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    q = F.transform(
+        words,
+        lambda w: F.greatest(F.lit(1), F.least(F.lit(44), F.length(w) * 5)).cast(
+            "int"
+        ),
+    )
+    t = F.col("_t")
+    out = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), q.alias("q"))
+        .withColumn("_t", make_trim_words_udf()(F.col("q")))
+        .select(
+            "doc_id",
+            t["cut_begin"].cast("long").alias("cut_begin"),
+            t["cut_end"].cast("long").alias("cut_end"),
+            (t["cut_end"] - t["cut_begin"] > 0).alias("keep"),
+            F.when(
+                t["cut_end"] >= t["cut_begin"], t["cut_end"] - t["cut_begin"] + 1
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept_words"),
+        )
+    )
+    return out

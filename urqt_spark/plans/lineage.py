@@ -1,0 +1,104 @@
+"""Per-partition lineage / checkpoint protocol (BASELINE.json
+north_rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+The unit of resumability is a *stable* partition id derived from row
+keys — ``pmod(xxhash64(repo, path, commit), n_parts)`` — never from
+physical task/partition numbering (which changes under retries and
+AQE).  A run:
+
+1. reads the lineage table (if any) and collects DONE partition ids;
+2. processes only the remaining ids, writing each as its own
+   ``part=<id>`` output directory (idempotent overwrite);
+3. appends a lineage row (id, n_rows, kept, sha-of-keys, status) after
+   the partition's output commit.
+
+A killed run resumes by construction: completed partitions are skipped
+via an anti-join on lineage, and re-running a partition overwrites the
+same directory with identical bytes (everything downstream of the
+stable keys is deterministic).
+
+This replaces the reference's tmp-file + re-read restart machinery
+(``/root/reference/Read.cpp:112-166, 196-299``) with table state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from urqt_spark.config import FilterConfig
+from urqt_spark.plans.pipeline import quality_filter_plan
+
+LINEAGE_COLS = ["part_id", "status", "n_rows", "kept_rows", "keys_sha"]
+
+
+def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
+    return df.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")), F.lit(n_parts)).cast("int"),
+    )
+
+
+def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(lineage_dir)
+    except Exception:  # noqa: BLE001 — first run: no lineage yet
+        return None
+
+
+def done_part_ids(spark: SparkSession, lineage_dir: str) -> set[int]:
+    lin = read_lineage(spark, lineage_dir)
+    if lin is None:
+        return set()
+    rows = lin.filter(F.col("status") == "done").select("part_id").distinct().collect()
+    return {r.part_id for r in rows}
+
+
+def run_with_lineage(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    lineage_dir: str,
+    cfg: FilterConfig | None = None,
+    n_parts: int = 16,
+    fail_after: int | None = None,
+) -> list[int]:
+    """Process all partitions not yet marked done.  ``fail_after``
+    (tests only) aborts after that many partitions to simulate a kill.
+    Returns the list of partition ids computed in THIS run."""
+    cfg = cfg or FilterConfig()
+    df = with_part_id(df, n_parts)
+    done = done_part_ids(spark, lineage_dir)
+    todo = sorted(set(range(n_parts)) - done)
+    computed: list[int] = []
+    for idx, pid in enumerate(todo):
+        if fail_after is not None and idx >= fail_after:
+            break
+        part = df.filter(F.col("part_id") == pid)
+        out = quality_filter_plan(part, cfg, repartition=False)
+        result = out.filter(F.col("keep")).select(
+            "repo", "path", "commit", "lang", "content_scrubbed",
+            "cut_begin", "cut_end", "scrubbed_sha256",
+        )
+        # per-partition idempotent commit
+        result.write.mode("overwrite").parquet(os.path.join(out_dir, f"part={pid}"))
+        stats = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sha2(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.concat_ws("/", "repo", "path", "commit")))
+                ),
+                256,
+            ).alias("keys_sha"),
+        ).collect()[0]
+        lin_row = spark.createDataFrame(
+            [(pid, "done", int(stats.n or 0), int(stats.kept or 0), stats.keys_sha)],
+            schema="part_id int, status string, n_rows long, kept_rows long, keys_sha string",
+        )
+        lin_row.write.mode("append").parquet(lineage_dir)
+        computed.append(pid)
+    return computed

@@ -64,6 +64,10 @@ _PII_SNIPPETS = [
 ]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
 def make_line(q: int, variant: int = 0) -> str:
     """A 100-char line whose planted quality round-trips through the
     line_quality contract: exactly round(100*q/44) good chars."""
@@ -89,6 +93,7 @@ def generate_corpus(
     skew_len_mult: int = 8,
     pii_frac: float = 0.15,
     cfg: FilterConfig | None = None,
+    compute_labels: bool = True,
 ) -> pd.DataFrame:
     """Build the corpus with label columns.
 
@@ -132,6 +137,19 @@ def generate_corpus(
             j = head_n + 1
             lines[j] = _PII_SNIPPETS[i % len(_PII_SNIPPETS)] + lines[j][60:]
         content = "\n".join(lines)
+
+        if not compute_labels:
+            # bench-scale path: inputs only, no oracle labels
+            recs.append(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": commit,
+                    "lang": lang,
+                    "content": content,
+                }
+            )
+            continue
 
         q = lines_quality(lines)
         p = quality_to_proba(q, lut)

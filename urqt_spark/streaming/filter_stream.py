@@ -1,0 +1,77 @@
+"""Structured Streaming variant of the quality filter.
+
+The batch plan is stage-for-stage reusable: every transformation is a
+narrow projection (pandas UDFs + column exprs), so the same
+``quality_filter_plan`` applies to a streaming DataFrame unchanged —
+no watermark is needed for the filter itself (stateless per-row).  A
+windowed per-lang metrics stream (stateful, with watermark) is exposed
+separately.
+
+Source: a directory of parquet files with the corpus schema (file
+source = the streaming analogue of the reference's sequential record
+scan, ``/root/reference/UrQt.cpp:617-643``); sink: parquet + checkpoint
+(exactly-once via the file-sink commit log, replacing the reference's
+single-writer ordered queue, ``mThreadDone.hpp``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from urqt_spark.config import FilterConfig
+from urqt_spark.plans.pipeline import quality_filter_plan
+
+CORPUS_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def stream_quality_filter(
+    spark: SparkSession,
+    in_dir: str,
+    cfg: FilterConfig | None = None,
+) -> DataFrame:
+    cfg = cfg or FilterConfig(
+        langid_enabled=False, perplexity_enabled=False
+    )
+    src = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+    # repartition=False: a stream stage must stay narrow; skew handling
+    # belongs to the (batch) compaction job
+    return quality_filter_plan(src, cfg, repartition=False)
+
+
+def start_filter_sink(
+    filtered: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    surv = filtered.filter(F.col("keep")).select(
+        "repo", "path", "commit", "lang", "content_scrubbed", "scrubbed_sha256"
+    )
+    w = (
+        surv.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def streaming_lang_metrics(filtered: DataFrame, event_time_col: str = "_ingest_ts"):
+    """Per-lang keep/drop counts over 1-minute event-time windows with a
+    2-minute watermark — the streaming form of the reference's global
+    counters (``/root/reference/Read.cpp:22-47``)."""
+    with_ts = filtered.withColumn(event_time_col, F.current_timestamp())
+    return (
+        with_ts.withWatermark(event_time_col, "2 minutes")
+        .groupBy(F.window(F.col(event_time_col), "1 minute"), F.col("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.col("keep").cast("long")).alias("kept_files"),
+        )
+    )
