@@ -1,0 +1,107 @@
+"""Two-parallelism scaling protocol (BASELINE.json: ≥0.8 efficiency
+between N and 4N executors; sandbox protocol per BASELINE.md — same
+job + input at local[8] and local[32]).
+
+Runs the flagship pipeline (full stage chain) over the bench corpus at
+both parallelism levels in separate JVMs (fresh SparkSession each, so
+no warm-cache bleed), prints a JSON summary and rewrites
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_ONE = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from urqt_spark.config import FilterConfig
+from urqt_spark.plans.pipeline import metrics, quality_filter_plan
+from urqt_spark.session import get_spark
+
+cpus = int(sys.argv[1]); corpus_path = sys.argv[2]
+spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus * 2, 16))
+corpus = spark.read.parquet(corpus_path)
+cfg = FilterConfig()
+# warmup (JVM + Python worker pool) on a slice, excluded from timing
+metrics(quality_filter_plan(corpus.limit(2000), cfg)).collect()
+t0 = time.time()
+m = metrics(quality_filter_plan(corpus, cfg)).collect()[0]
+dt = time.time() - t0
+print(json.dumps({{"cpus": cpus, "sec": round(dt, 2),
+                   "files": int(m.total_files),
+                   "files_per_sec": round(m.total_files / dt, 1)}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, corpus_path: str) -> dict:
+    script = RUN_ONE.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), corpus_path],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    from bench import _SF_ROWS, corpus_parquet
+
+    n_rows = _SF_ROWS[os.environ.get("SCALING_SF", "sf0.1")]
+    corpus_path = corpus_parquet(n_rows)
+
+    lo = run_level(8, corpus_path)
+    hi = run_level(32, corpus_path)
+    speedup = lo["sec"] / hi["sec"]
+    efficiency = speedup / (32 / 8)
+    summary = {
+        "corpus_rows": n_rows,
+        "local8": lo,
+        "local32": hi,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH/BASELINE — measured numbers
+
+Flagship pipeline: full stage chain (trim kernel → heuristics → langid
+→ perplexity → scrub → decision → metrics agg) over the deterministic
+synthetic code corpus ({n_rows:,} files, 40% skewed into one monorepo
+with 8× file length — FIXTURES.md §4), salted repartition enabled.
+
+Scaling protocol (BASELINE.json / BASELINE.md): identical job + input
+at `local[8]` and `local[32]`; efficiency = (T8/T32) / 4.
+
+| parallelism | wall sec | files/sec |
+|---|---|---|
+| local[8]  | {lo['sec']} | {lo['files_per_sec']} |
+| local[32] | {hi['sec']} | {hi['files_per_sec']} |
+
+* speedup 8→32: **{speedup:.2f}×** (ideal 4×)
+* scaling efficiency: **{efficiency:.3f}** (target ≥ 0.8 → {"PASS" if efficiency >= 0.8 else "FAIL"})
+
+Reference points: the C++ reference runs 3-4 threads on one node with
+no published throughput numbers (BASELINE.md); this pipeline's
+per-file decision work is O(total_lines) with a single shuffle
+(salted repartition), so throughput scales with cores until the
+Python/Arrow channel saturates.
+
+Reproduce: `python scripts/bench_scaling.py` (env `SCALING_SF`
+selects sf0.001/sf0.01/sf0.1 corpus sizing).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()

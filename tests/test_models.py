@@ -1,0 +1,61 @@
+"""langid + perplexity model units: determinism, batch≡scalar, and
+separation on the seed domains."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from urqt_spark.functions.langid import (
+    LANGS,
+    _SEED_SNIPPETS,
+    predict_batch,
+    text_features,
+)
+from urqt_spark.functions.perplexity import perplexity, perplexity_batch
+
+
+def test_langid_recovers_seed_languages():
+    texts = pd.Series([_SEED_SNIPPETS[lang] for lang in LANGS])
+    idx, conf = predict_batch(texts)
+    assert [LANGS[i] for i in idx] == list(LANGS)
+    assert (conf > 0.2).all()  # seeds are far from each other
+
+
+def test_langid_on_held_out_snippets():
+    samples = {
+        "python": "import json\n\ndef load(path):\n    with open(path) as f:\n        return json.load(f)\n",
+        "java": "public final class Util {\n    private Util() {}\n    public static int add(int a, int b) { return a + b; }\n}\n",
+        "javascript": "const total = items.reduce((acc, x) => acc + x.price, 0);\nexport default total;\n",
+        "markdown": "## Setup\n\n* install deps\n* run `make`\n\nSee [docs](https://docs.example.com).\n",
+    }
+    idx, _ = predict_batch(pd.Series(list(samples.values())))
+    assert [LANGS[i] for i in idx] == list(samples)
+
+
+def test_langid_deterministic_across_calls():
+    t = pd.Series(["def f(x):\n    return x + 1\n"] * 3)
+    i1, c1 = predict_batch(t)
+    i2, c2 = predict_batch(t)
+    assert (i1 == i2).all() and np.allclose(c1, c2)
+    # feature hashing is process-independent (FNV, not hash())
+    v = text_features("def f(x): pass")
+    assert v.sum() > 0
+
+
+def test_perplexity_batch_equals_scalar():
+    texts = [
+        "def main():\n    return 0\n",
+        "",
+        "ab",
+        "¤¤¤ ÿÿÿ §§§ garbage garbage",
+        _SEED_SNIPPETS["python"][:200],
+    ]
+    got = perplexity_batch(pd.Series(texts))
+    want = [perplexity(t) for t in texts]
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_perplexity_separates_code_from_noise():
+    code = _SEED_SNIPPETS["python"]
+    noise = "".join(chr(33 + (i * 7919) % 90) for i in range(500))
+    assert perplexity(noise) > 2 * perplexity(code)

@@ -33,7 +33,7 @@ class FilterConfig:
 
     # ---- scale knobs (Spark-side) ----
     salt_buckets: int = 64  # salted repartition fan (SURVEY.md §4)
-    arrow_batch_rows: int = 2048  # large `content` → bounded Arrow batches
+    arrow_batch_rows: int = 512  # large `content` → bounded Arrow batches
     shuffle_partitions: int = 32
 
     # ---- stage toggles ----

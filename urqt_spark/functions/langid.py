@@ -106,10 +106,48 @@ def _build_model() -> tuple[list[str], np.ndarray]:
 LANGS, CENTROIDS = _build_model()
 
 
+def _flat_trigram_rows(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, bucket) for every within-row byte trigram of the whole
+    batch, computed over ONE flat byte array (no per-row Python work
+    beyond the unavoidable encode)."""
+    bs = [(t or "").encode("utf-8", "ignore") for t in texts]
+    R = len(bs)
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=R)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    # within-row trigram start positions, built from row extents
+    n3 = np.maximum(lens - 2, 0)
+    total = int(n3.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    rows = np.repeat(np.arange(R, dtype=np.int64), n3)
+    first = np.concatenate(([0], np.cumsum(n3)))[:-1]
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(first, n3)
+        + np.repeat(starts, n3)
+    )
+    P, B = np.uint64(0x100000001B3), np.uint64(0xCBF29CE484222325)
+    h = np.full(total, B, dtype=np.uint64)
+    for k in range(3):
+        h = (h ^ flat[pos + k].astype(np.uint64)) * P
+    return rows, (h % np.uint64(N_BUCKETS)).astype(np.int64)
+
+
 def predict_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(lang_idx, confidence) per text; confidence = top cosine score
-    softmax-normalized against the runner-up."""
-    feats = np.stack([text_features(t or "") for t in texts])  # (R, B)
+    """(lang_idx, confidence) per text; confidence = margin of the top
+    cosine score over the runner-up.  Fully batch-vectorized: one flat
+    hash pass + one (R×B)·(B×L) matmul."""
+    tl = list(texts)
+    R = len(tl)
+    if R == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    rows, buckets = _flat_trigram_rows(tl)
+    counts = np.bincount(
+        rows * N_BUCKETS + buckets, minlength=R * N_BUCKETS
+    ).reshape(R, N_BUCKETS).astype(np.float64)
+    norms = np.linalg.norm(counts, axis=1, keepdims=True)
+    feats = counts / np.maximum(norms, 1e-12)
     scores = feats @ CENTROIDS.T  # (R, L)
     idx = np.argmax(scores, axis=1)
     srt = np.sort(scores, axis=1)
@@ -118,7 +156,7 @@ def predict_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return idx, conf
 
 
-def with_langid(df, text_col: str = "kept_text"):
+def with_langid(df, text_col: str = "kept_text", cap_chars: int = 2000):
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
         DoubleType,
@@ -136,15 +174,14 @@ def with_langid(df, text_col: str = "kept_text"):
 
     @F.pandas_udf(schema)
     def langid_udf(texts: pd.Series) -> pd.DataFrame:
-        idx, conf = predict_batch(texts.fillna(""))
+        # bounded analysis window: language is identifiable from a
+        # prefix; caps per-file cost for MB-sized files (the documented
+        # truncated-analysis rule, like the reference's MAX_QUAL cap)
+        idx, conf = predict_batch(texts.fillna("").str.slice(0, cap_chars))
         return pd.DataFrame(
             {"lang_pred": [LANGS[i] for i in idx], "lang_conf": conf}
         )
 
-    s = F.col("_langid")
-    return (
-        df.withColumn("_langid", langid_udf(F.col(text_col)))
-        .withColumn("lang_pred", s["lang_pred"])
-        .withColumn("lang_conf", s["lang_conf"])
-        .drop("_langid")
-    )
+    # inline-generator expansion = evaluate exactly once
+    # (see urqt_spark/operators/trim.py::with_trim)
+    return df.select("*", F.inline(F.array(langid_udf(F.col(text_col)))))

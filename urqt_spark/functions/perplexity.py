@@ -86,17 +86,54 @@ def perplexity(text: str, model: dict[str, np.ndarray] | None = None) -> float:
 
 
 def perplexity_batch(texts: pd.Series) -> np.ndarray:
-    return np.fromiter(
-        (perplexity(t) for t in texts), dtype=np.float64, count=len(texts)
+    """Batch-vectorized: one flat byte array for all rows, within-row
+    trigram mask via searchsorted, per-row mean log-prob via bincount.
+    Identical values to :func:`perplexity` per row (tested)."""
+    m = MODEL
+    tl = [(t or "") for t in texts]
+    R = len(tl)
+    bs = [t.encode("utf-8", "ignore") for t in tl]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=R)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    out = np.zeros(R, dtype=np.float64)
+    if flat.size < 3:
+        return out
+    # within-row trigram positions built directly from row extents (no
+    # flat-size searchsorted, no crossing mask — keeps intermediates
+    # small and the page-fault footprint bounded)
+    n3 = np.maximum(lens - 2, 0)
+    total = int(n3.sum())
+    if total == 0:
+        return out
+    rows = np.repeat(np.arange(R, dtype=np.int32), n3)
+    first = np.concatenate(([0], np.cumsum(n3)))[:-1]
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(first, n3)
+        + np.repeat(starts, n3)
     )
+    a, c, d = flat[pos], flat[pos + 1], flat[pos + 2]
+    p3 = (m["tri"][_h3(a, c, d)] + _ADD_K) / (m["tri_ctx"][_h2(a, c)] + _ADD_K * 256)
+    p2 = (m["bi"][_h2(c, d)] + _ADD_K) / (m["bi_ctx"][c] + _ADD_K * 256)
+    p1 = (m["uni"][d] + _ADD_K) / (m["uni_total"] + _ADD_K * 256)
+    lp = np.log(L3 * p3 + L2 * p2 + L1 * p1)
+    n_tri = np.bincount(rows, minlength=R)
+    s = np.bincount(rows, weights=lp, minlength=R)
+    nz = n_tri > 0
+    out[nz] = np.exp(-s[nz] / n_tri[nz])
+    return out
 
 
-def with_perplexity(df, text_col: str = "kept_text"):
+def with_perplexity(df, text_col: str = "kept_text", cap_chars: int = 4000):
     from pyspark.sql import functions as F
     from pyspark.sql.types import DoubleType
 
     @F.pandas_udf(DoubleType())
     def ppl_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series(perplexity_batch(texts.fillna("")))
+        # bounded analysis window (truncated-analysis rule): a 4 KB
+        # prefix is a stable perplexity estimate and caps per-file cost
+        return pd.Series(perplexity_batch(texts.fillna("").str.slice(0, cap_chars)))
 
-    return df.withColumn("ppl", ppl_udf(F.col(text_col)))
+    # nondeterministic mark = evaluate-once (see operators/trim.py)
+    return df.withColumn("ppl", ppl_udf.asNondeterministic()(F.col(text_col)))

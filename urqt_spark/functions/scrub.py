@@ -78,12 +78,32 @@ def scrub_sql(col_expr: str, dialect: str = "duckdb") -> str:
     return expr
 
 
+# cheap substring guards: regexp_replace only runs on rows that can
+# possibly match (Java regex pays per-position attempt costs over the
+# whole text; contains() is an indexOf scan).  Semantics unchanged: a
+# row without the needle has no match by construction.
+_SPARK_GUARDS: dict[str, list[str]] = {
+    "private_key": ["-----BEGIN"],
+    "aws_key": ["AKIA"],
+    "secret_token": ["sk_live_", "sk_test_", "ghp_", "gho_", "ghu_", "xoxb_", "xoxp_"],
+    "email": ["@"],
+}
+
+
 def scrub_spark_col(col):
     """The rule chain as a pyspark Column (JVM-side, codegen-friendly;
     patterns passed verbatim through the functions API — no SQL-literal
     escaping)."""
     from pyspark.sql import functions as F
 
-    for _, pat, rep in SCRUB_RULES:
-        col = F.regexp_replace(col, pat, rep)
+    for name, pat, rep in SCRUB_RULES:
+        needles = _SPARK_GUARDS.get(name)
+        replaced = F.regexp_replace(col, pat, rep)
+        if needles:
+            cond = F.contains(col, F.lit(needles[0]))
+            for n in needles[1:]:
+                cond = cond | F.contains(col, F.lit(n))
+            col = F.when(cond, replaced).otherwise(col)
+        else:
+            col = replaced
     return col

@@ -115,15 +115,20 @@ def ngram_jaccard_pairs(
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _blake8(s: str) -> int:
+    """Deterministic 64-bit string hash at C speed (hashlib.blake2b —
+    unlike ``hash()``, stable across processes/runs)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8", "ignore"), digest_size=8).digest(), "little"
+    )
+
+
 def _shingle_base_hash(shingle_list: list[str]) -> np.ndarray:
-    out = np.empty(len(shingle_list), dtype=np.uint64)
-    P, B = np.uint64(0x100000001B3), np.uint64(0xCBF29CE484222325)
-    for i, s in enumerate(shingle_list):
-        h = B
-        for byte in s.encode("utf-8", "ignore"):
-            h = (h ^ np.uint64(byte)) * P
-        out[i] = h
-    return out
+    return np.fromiter(
+        (_blake8(s) for s in shingle_list), dtype=np.uint64, count=len(shingle_list)
+    )
 
 
 def make_minhash_udf(num_perm: int = 64, seed: int = 42):
@@ -232,22 +237,23 @@ def make_simhash_udf(seed: int = 42):
 
     @F.pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        P, B = np.uint64(0x100000001B3), np.uint64(0xCBF29CE484222325)
-        for r, t in enumerate(texts):
-            toks = (t or "").split(" ")
-            hs = np.empty(len(toks), dtype=np.uint64)
-            for i, s in enumerate(toks):
-                h = B
-                for byte in s.encode("utf-8", "ignore"):
-                    h = (h ^ np.uint64(byte)) * P
-                hs[i] = h
-            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-            fp = np.uint64(0)
-            fp_bits = (votes > 0).astype(np.uint64)
-            fp = np.bitwise_or.reduce(fp_bits << np.arange(64, dtype=np.uint64))
-            out[r] = fp.astype(np.int64)
+        R = len(texts)
+        out = np.empty(R, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        # flat across the batch: hash every token once, vote per row
+        tok_lists = [(t or "").split(" ") for t in texts]
+        counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=R)
+        hs = np.fromiter(
+            (_blake8(s) for row in tok_lists for s in row),
+            dtype=np.uint64,
+            count=int(counts.sum()),
+        )
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes_flat = bits * 2 - 1  # (T, 64)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        votes = np.add.reduceat(votes_flat, starts, axis=0)  # (R, 64)
+        fp_bits = (votes > 0).astype(np.uint64)
+        out = (fp_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
 
     return simhash_udf

@@ -39,30 +39,78 @@ TRIM_SCHEMA = StructType(
         StructField("n_lines", IntegerType(), False),
         StructField("keep", BooleanType(), False),
         StructField("kept_text", StringType(), True),
+        # longest kept line, computed here from the numpy line lengths
+        # (a JVM split+array_max over `content` costs ~5x the whole
+        # Python kernel; this is free in the batch)
+        StructField("longest_line", IntegerType(), False),
     ]
 )
 
 
-def batch_line_qualities(contents: pd.Series) -> tuple[np.ndarray, np.ndarray, list]:
-    """Per-line qualities for a batch: (q_flat, counts, line_lists).
+# "good" character membership table over ASCII codepoints (the good
+# class is pure ASCII; any codepoint >= 128 is bad by definition)
+_GOOD_TABLE = np.zeros(128, dtype=bool)
+for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 _.,;:()=+*/<>#-":
+    _GOOD_TABLE[ord(_ch)] = True
+_ = GOOD_CHARS_PATTERN  # the table above must mirror this pattern (tested)
 
-    Implements the functions/quality.py contract with pandas vectorized
-    string ops over the flattened line array (compiled-regex C loop,
-    not per-row Python).
+
+def batch_line_qualities(
+    contents: pd.Series,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list]:
+    """Per-line qualities for a batch with ZERO per-line Python.
+
+    Each content string is decoded once to a UTF-32 codepoint array
+    (exact character semantics — the contract counts characters, not
+    bytes); newline positions give line boundaries; good-char counts
+    per line come from one table lookup + ``np.add.reduceat`` over the
+    whole batch.
+
+    Returns ``(q_flat, counts, line_starts, line_ends, texts)`` where
+    ``line_starts``/``line_ends`` are flat per-line CHARACTER offsets
+    into each row's content (for slicing kept text without splitting).
     """
-    line_lists = contents.fillna("").str.split("\n").tolist()
-    counts = np.fromiter((len(x) for x in line_lists), dtype=np.int64, count=len(line_lists))
-    flat = pd.Series(
-        [ln for row in line_lists for ln in row], dtype="object", copy=False
-    )
-    L = flat.str.len().to_numpy(dtype=np.float64)
-    g = flat.str.count(GOOD_CHARS_PATTERN).to_numpy(dtype=np.float64)
+    texts = contents.fillna("").tolist()
+    R = len(texts)
+    if R == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy(), z.copy(), texts
+
+    # one codepoint array for the whole batch, rows separated by '\n'
+    joined = "\n".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    nl = np.flatnonzero(cp == 10)
+    # line k spans [starts_g[k], ends_g[k]) in the joined array
+    starts_g = np.concatenate(([0], nl + 1))
+    ends_g = np.concatenate((nl, [cp.size]))
+    n_lines_total = starts_g.size
+
+    # rows have len(texts[r]) chars; newlines INSIDE a row delimit its
+    # lines, the separator newline delimits rows — per-row line counts:
+    row_len = np.fromiter((len(t) for t in texts), dtype=np.int64, count=R)
+    row_start = np.concatenate(([0], np.cumsum(row_len + 1)))[:-1]
+    # counts[r] = (# newlines within row r) + 1
+    row_nl = np.searchsorted(nl, row_start + row_len) - np.searchsorted(nl, row_start)
+    counts = row_nl + 1
+    assert int(counts.sum()) == n_lines_total
+
+    L = (ends_g - starts_g).astype(np.float64)
+    good = (cp < 128) & _GOOD_TABLE[np.minimum(cp, 127)]
+    # per-line good counts; reduceat needs non-empty slices — guard by
+    # computing on cumsum differences instead
+    cg = np.concatenate(([0], np.cumsum(good.astype(np.int64))))
+    g = (cg[ends_g] - cg[starts_g]).astype(np.float64)
+
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio = np.where(L > 0, g / np.maximum(L, 1.0), 0.0)
         lp = np.where(L <= MAX_LINE_LEN, 1.0, MAX_LINE_LEN / np.maximum(L, 1.0))
         q = np.floor(44.0 * ratio * lp + 0.5)
     q = np.clip(q, 1, 44).astype(np.int64)
-    return q, counts, line_lists
+
+    # per-line offsets local to each row's own string
+    row_of_line = np.repeat(np.arange(R, dtype=np.int64), counts)
+    base = row_start[row_of_line]
+    return q, counts, starts_g - base, ends_g - base, texts
 
 
 def make_trim_udf(cfg: FilterConfig):
@@ -76,7 +124,9 @@ def make_trim_udf(cfg: FilterConfig):
 
     @F.pandas_udf(TRIM_SCHEMA)
     def trim_udf(contents: pd.Series) -> pd.DataFrame:
-        q_flat, counts, line_lists = batch_line_qualities(contents)
+        q_flat, counts, line_starts, line_ends, texts = batch_line_qualities(
+            contents
+        )
         cb, ce, keep = trim_batch(
             q_flat,
             counts,
@@ -89,10 +139,33 @@ def make_trim_udf(cfg: FilterConfig):
             min_size=cfg.min_size,
             lut=lut,
         )
+        # kept text = one string slice per row by character offsets —
+        # no split, no join
+        first_line = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        klo = first_line + np.maximum(cb, 0)
+        khi = first_line + np.minimum(np.maximum(ce, 0), counts - 1)
+        lo = line_starts[klo]
+        hi = line_ends[khi]
         kept = [
-            "\n".join(rows[b : e + 1]) if k and e >= b else ""
-            for rows, b, e, k in zip(line_lists, cb, ce, keep)
+            t[a:b] if k and e >= c else ""
+            for t, a, b, c, e, k in zip(texts, lo, hi, cb, ce, keep)
         ]
+        # longest kept line per row via interleaved reduceat segments
+        line_len = line_ends - line_starts
+        R = counts.size
+        longest = np.zeros(R, dtype=np.int32)
+        nonempty = keep & (ce >= cb)
+        if nonempty.any():
+            s = klo[nonempty]
+            e_ = khi[nonempty] + 1
+            segs = np.empty(2 * s.size, dtype=np.int64)
+            segs[0::2], segs[1::2] = s, e_
+            # trailing segment bound == array size is invalid for
+            # reduceat; pad the length array by one sentinel
+            padded = np.concatenate((line_len, [0]))
+            longest[nonempty] = np.maximum.reduceat(padded, segs)[0::2].astype(
+                np.int32
+            )
         return pd.DataFrame(
             {
                 "cut_begin": cb.astype(np.int32),
@@ -100,6 +173,7 @@ def make_trim_udf(cfg: FilterConfig):
                 "n_lines": counts.astype(np.int32),
                 "keep": keep,
                 "kept_text": kept,
+                "longest_line": longest,
             }
         )
 
@@ -107,15 +181,14 @@ def make_trim_udf(cfg: FilterConfig):
 
 
 def with_trim(df, cfg: FilterConfig, content_col: str = "content"):
-    """``df -> df + (cut_begin, cut_end, n_lines, keep, kept_text)``."""
+    """``df -> df + (cut_begin, cut_end, n_lines, keep, kept_text,
+    longest_line)``.
+
+    The struct UDF is expanded through ``inline`` (a generator) rather
+    than ``withColumn`` field extraction: projection collapse inlines a
+    plain UDF expression once per downstream consumer — measured 3-6x
+    re-execution of the kernel over the whole corpus — while a
+    Generate node's output columns are real attributes, so the UDF
+    runs exactly once per row."""
     trim_udf = make_trim_udf(cfg)
-    t = F.col("_trim")
-    return (
-        df.withColumn("_trim", trim_udf(F.col(content_col)))
-        .withColumn("cut_begin", t["cut_begin"])
-        .withColumn("cut_end", t["cut_end"])
-        .withColumn("n_lines", t["n_lines"])
-        .withColumn("keep", t["keep"])
-        .withColumn("kept_text", t["kept_text"])
-        .drop("_trim")
-    )
+    return df.select("*", F.inline(F.array(trim_udf(F.col(content_col)))))

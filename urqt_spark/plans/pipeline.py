@@ -44,19 +44,41 @@ def salted_repartition(df: DataFrame, cfg: FilterConfig) -> DataFrame:
 
 def with_heuristics(df: DataFrame, cfg: FilterConfig, text_col: str = "kept_text") -> DataFrame:
     """Gopher/C4-style quality heuristics re-targeted at code, all as
-    built-in column expressions (no Python)."""
-    lines = F.split(F.col(text_col), "\n")
+    built-in column expressions (no Python).
+
+    Deliberately array-free AND regex-free on the bulk path: jstack on
+    the bench showed executor threads pinned inside java.util.regex
+    character-class lambdas, so alnum counting uses ``translate`` (a
+    linear char-map scan), line counts come from the trim cut bounds,
+    and ``longest_line`` comes from the trim UDF's numpy line lengths."""
     text_len = F.length(F.col(text_col))
-    alnum_len = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
-    line_lens = F.transform(lines, lambda x: F.length(x))
-    df = (
-        df.withColumn("kept_lines", F.size(lines))
-        .withColumn("kept_chars", text_len)
-        .withColumn(
-            "mean_line_len",
-            F.when(F.size(lines) > 0, text_len / F.size(lines)).otherwise(F.lit(0.0)),
+    _ALNUM = "".join(
+        [chr(c) for c in range(48, 58)]
+        + [chr(c) for c in range(65, 91)]
+        + [chr(c) for c in range(97, 123)]
+    )
+    alnum_len = text_len - F.length(F.translate(F.col(text_col), _ALNUM, ""))
+    if "cut_begin" in df.columns:
+        # kept_text is lines[cut_begin..cut_end] joined → newline count
+        # is exactly cut_end-cut_begin when kept; "" splits to 1 line
+        kept_lines = F.when(
+            F.col("keep") & (F.col("cut_end") >= F.col("cut_begin")),
+            F.col("cut_end") - F.col("cut_begin") + 1,
+        ).otherwise(F.lit(1))
+    else:
+        kept_lines = (
+            text_len - F.length(F.translate(F.col(text_col), "\n", "")) + F.lit(1)
         )
-        .withColumn("longest_line", F.coalesce(F.array_max(line_lens), F.lit(0)))
+    if "longest_line" not in df.columns:
+        lines = F.split(F.col(text_col), "\n")
+        df = df.withColumn(
+            "longest_line",
+            F.coalesce(F.array_max(F.transform(lines, lambda x: F.length(x))), F.lit(0)),
+        )
+    df = (
+        df.withColumn("kept_lines", kept_lines)
+        .withColumn("kept_chars", text_len)
+        .withColumn("mean_line_len", text_len / kept_lines)
         .withColumn(
             "alnum_ratio",
             F.when(text_len > 0, alnum_len / text_len).otherwise(F.lit(0.0)),

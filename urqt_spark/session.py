@@ -12,8 +12,16 @@ def get_spark(
     app_name: str = "urqt-spark",
     master: str | None = None,
     shuffle_partitions: int = 32,
-    arrow_batch_rows: int = 2048,
+    arrow_batch_rows: int = 512,
 ) -> SparkSession:
+    # glibc returns mmap'd blocks to the OS on free; in this microVM a
+    # fresh large allocation then pays first-touch page faults at
+    # ~20 MB/s, which dominates Arrow/NumPy batch work.  Forcing heap
+    # allocation (no mmap, no trim) makes workers fault each page once
+    # and reuse it.  Must be in the environment BEFORE the JVM starts
+    # so the python workers it spawns inherit it.
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     return (
         SparkSession.builder.appName(app_name)
@@ -28,7 +36,9 @@ def get_spark(
         # batch so executor memory stays bounded (the reference caps
         # its in-flight buffer the same way, UrQt.cpp:74)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -68,13 +68,17 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=4096)
+def _make_line_cached(q: int, variant7: int) -> str:
+    g = int(np.floor(100.0 * q / 44.0 + 0.5))
+    base = (_GOOD_FILLER * 3)[variant7:]
+    good = base[:g] if g > 0 else ""
+    return good + _BAD_CHAR * (100 - len(good))
+
+
 def make_line(q: int, variant: int = 0) -> str:
     """A 100-char line whose planted quality round-trips through the
     line_quality contract: exactly round(100*q/44) good chars."""
-    g = int(np.floor(100.0 * q / 44.0 + 0.5))
-    base = (_GOOD_FILLER * 3)[variant % 7 :]
-    good = base[:g] if g > 0 else ""
-    return good + _BAD_CHAR * (100 - len(good))
+    return _make_line_cached(q, variant % 7)
 
 
 def _check_roundtrip() -> None:
