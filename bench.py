@@ -71,12 +71,18 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
-    def force_all(df):
-        # checksum over every column: defeats column pruning so the
-        # bench really pays for langid/ppl/scrub, without sink IO noise
-        return df.select(
-            F.sum(F.xxhash64(F.struct(*df.columns)).cast("double")).alias("h")
-        ).collect()
+    import shutil
+    import tempfile
+
+    sink_root = tempfile.mkdtemp(prefix="bench_sink_")
+
+    def force_all(df, name="w"):
+        # realistic sink: write the full result as parquet (defeats
+        # column pruning AND measures what a production filter job
+        # does; a checksum-of-struct force costs more than the sink)
+        out = os.path.join(sink_root, name)
+        df.write.mode("overwrite").parquet(out)
+        shutil.rmtree(out, ignore_errors=True)
 
     # -- flagship: full pipeline (trim kernel + heuristics + langid +
     #    perplexity + scrub) over the synthetic code corpus
@@ -90,6 +96,12 @@ def main() -> None:
     # path warms (limit() would coalesce to one partition and warm one)
     force_all(quality_filter_plan(corpus.sample(0.05, seed=1), cfg))
     force_all(quality_filter_plan(corpus.sample(0.05, seed=2), cfg))
+    # first timed run still amortizes JIT tiering on this microVM;
+    # report it as _cold and the repeat as the steady-state headline
+    timed(
+        "quality_filter_full_cold",
+        lambda: force_all(quality_filter_plan(corpus, cfg)),
+    )
     timed(
         "quality_filter_full",
         lambda: force_all(quality_filter_plan(corpus, cfg)),

@@ -18,24 +18,31 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 RUN_ONE = r"""
-import json, sys, time
+import json, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from urqt_spark.config import FilterConfig
-from urqt_spark.plans.pipeline import metrics, quality_filter_plan
+from urqt_spark.plans.pipeline import quality_filter_plan
 from urqt_spark.session import get_spark
 
 cpus = int(sys.argv[1]); corpus_path = sys.argv[2]
 spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus * 2, 16))
 corpus = spark.read.parquet(corpus_path)
+n_files = corpus.count()
 cfg = FilterConfig()
-# warmup (JVM + Python worker pool) on a slice, excluded from timing
-metrics(quality_filter_plan(corpus.limit(2000), cfg)).collect()
+sink = tempfile.mkdtemp(prefix="scaling_sink_")
+def run(frame, name):
+    frame.write.mode("overwrite").parquet(f"{{sink}}/{{name}}")
+# warmup (JVM JIT + python worker pool + page faults), sampled so every
+# worker and codegen path warms; excluded from timing
+run(quality_filter_plan(corpus.sample(0.05, seed=1), cfg), "w1")
+run(quality_filter_plan(corpus.sample(0.05, seed=2), cfg), "w2")
 t0 = time.time()
-m = metrics(quality_filter_plan(corpus, cfg)).collect()[0]
+run(quality_filter_plan(corpus, cfg), "full")
 dt = time.time() - t0
+shutil.rmtree(sink, ignore_errors=True)
 print(json.dumps({{"cpus": cpus, "sec": round(dt, 2),
-                   "files": int(m.total_files),
-                   "files_per_sec": round(m.total_files / dt, 1)}}))
+                   "files": int(n_files),
+                   "files_per_sec": round(n_files / dt, 1)}}))
 spark.stop()
 """
 

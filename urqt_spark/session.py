@@ -22,7 +22,12 @@ def get_spark(
     # so the python workers it spawns inherit it.
     os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
-    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    # local[N,3]: allow task retries — transient python-worker deaths
+    # observed in this microVM would otherwise kill the whole job
+    # (local-mode default maxFailures=1)
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')},3]"
+    if master.startswith("local[") and "," not in master:
+        master = master[:-1] + ",3]"
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -37,6 +42,8 @@ def get_spark(
         # its in-flight buffer the same way, UrQt.cpp:74)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
         .config("spark.ui.enabled", "false")
