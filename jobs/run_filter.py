@@ -13,7 +13,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct `python jobs/run_filter.py` invocation (no --py-files zip on
+# the path): make the repo root importable like spark-submit would
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_args(argv=None):

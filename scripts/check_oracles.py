@@ -1,0 +1,88 @@
+"""Local mimic of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() in DuckDB at sf0.01, compare
+row count, schema (column names), and values (exact, after sorting
+columns by name and rows by all columns).
+
+Usage: python scripts/check_oracles.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm(df):
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> None:
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from urqt_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            print(f"{name}: NO ORACLE (rows-only check)")
+            continue
+        try:
+            sdf = fn(spark, SF).toPandas()
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"{name}: ERROR {type(exc).__name__}: {str(exc)[:200]}")
+            continue
+        s, o = norm(sdf), norm(odf)
+        rows_ok = len(s) == len(o)
+        schema_ok = list(s.columns) == list(o.columns)
+        vals_ok = rows_ok and schema_ok and s.equals(o)
+        status = "OK" if (rows_ok and schema_ok and vals_ok) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{name}: {status} rows={len(s)}/{len(o)} "
+            f"schema={'ok' if schema_ok else f'{list(s.columns)} vs {list(o.columns)}'} "
+            f"values={'ok' if vals_ok else 'MISMATCH'}"
+        )
+        if not vals_ok and rows_ok and schema_ok:
+            neq = (s != o) & ~(s.isna() & o.isna())
+            bad_cols = [c for c in s.columns if neq[c].any()]
+            print(f"   mismatching cols: {bad_cols[:5]}")
+            for c in bad_cols[:2]:
+                i = neq[c].idxmax()
+                print(f"   e.g. {c}[{i}]: spark={s[c][i]!r} oracle={o[c][i]!r}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Generate the committed oracle fixtures under fixtures/.
+
+Two tables, both tiny and fully deterministic:
+
+* ``flagship_labels.parquet`` — independent NAIVE-kernel labels for
+  the synthetic flagship corpus (generate_corpus(1000, seed=42)).
+  The DuckDB oracle for `quality_filter_pipeline` SELECTs these and
+  the driver compares them against the Spark pipeline's live output —
+  pipeline-vs-independent-labels, not pipeline-vs-itself.
+
+* ``simhash_fp_sf0_01.parquet`` — SimHash fingerprints of the driver's
+  sf0.01 documents table, computed by the same ``simhash_batch``
+  function the Spark UDF calls.  The oracle then does an ALL-PAIRS
+  exact Hamming join over the fixture, which genuinely verifies the
+  banding + join machinery (pigeonhole recall guarantee) while pinning
+  the fingerprint function against regression.
+
+Rerun after any change to the corpus generator, the naive kernel, the
+scrub rules, or the simhash function:  python scripts/make_fixtures.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FIXTURES = os.path.join(REPO, "fixtures")
+SF001_DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def main() -> None:
+    import pandas as pd
+
+    os.makedirs(FIXTURES, exist_ok=True)
+
+    from urqt_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(1000, seed=42)
+    labels = corpus[
+        [
+            "repo",
+            "path",
+            "lang",
+            "expected_keep",
+            "expected_trim_begin",
+            "expected_trim_end",
+            "expected_n_lines",
+            "expected_scrubbed_sha256",
+        ]
+    ]
+    out = os.path.join(FIXTURES, "flagship_labels.parquet")
+    labels.to_parquet(out, index=False)
+    print(f"wrote {out}: {len(labels)} rows, {labels.expected_keep.sum()} kept")
+
+    from urqt_spark.operators.dedup import simhash_batch
+
+    docs = pd.read_parquet(SF001_DOCS, columns=["doc_id", "text"]).sort_values(
+        "doc_id"
+    )
+    fps = simhash_batch(list(docs.text))
+    fp_df = pd.DataFrame({"id": docs.doc_id.astype("int64").values, "fp": fps})
+    out = os.path.join(FIXTURES, "simhash_fp_sf0_01.parquet")
+    fp_df.to_parquet(out, index=False)
+    print(f"wrote {out}: {len(fp_df)} fingerprints")
+
+
+if __name__ == "__main__":
+    main()

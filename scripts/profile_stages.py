@@ -1,0 +1,113 @@
+"""Stage-incremental profiler for the flagship pipeline.
+
+Times each incremental plan prefix (scan → repartition → trim →
+heuristics → langid → perplexity → scrub/full-write) at a given
+parallelism, recording wall time AND total machine CPU-seconds from
+/proc/stat so partition starvation (low CPU util at high core count) is
+immediately visible.
+
+Usage: python scripts/profile_stages.py <cpus> <n_rows>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def cpu_seconds() -> float:
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    # user nice system idle iowait irq softirq steal
+    busy = sum(int(x) for x in parts[1:4]) + sum(int(x) for x in parts[6:9])
+    return busy / _CLK
+
+
+def main() -> None:
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+
+    from bench import corpus_parquet
+    from urqt_spark.config import FilterConfig
+    from urqt_spark.functions.langid import with_langid
+    from urqt_spark.functions.perplexity import with_perplexity
+    from urqt_spark.operators.trim import with_trim
+    from urqt_spark.plans.pipeline import (
+        salted_repartition,
+        with_heuristics,
+        with_scrub,
+    )
+    from urqt_spark.session import get_spark
+
+    corpus_path = corpus_parquet(n_rows)
+    spark = get_spark(
+        "profile", master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 16)
+    )
+    sc = spark.sparkContext
+    corpus = spark.read.parquet(corpus_path)
+    cfg = FilterConfig()
+
+    sink = tempfile.mkdtemp(prefix="prof_sink_")
+
+    def force(df, name):
+        out = os.path.join(sink, name)
+        df.write.mode("overwrite").parquet(out)
+
+    def plan(upto: str):
+        df = salted_repartition(corpus, cfg)
+        if upto == "repartition":
+            return df
+        df = with_trim(df, cfg)
+        if upto == "trim":
+            return df
+        df = with_heuristics(df, cfg)
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("keep", F.col("keep") & F.col("qc_pass"))
+        if upto == "heuristics":
+            return df
+        df = with_langid(df)
+        if upto == "langid":
+            return df
+        df = with_perplexity(df)
+        if upto == "ppl":
+            return df
+        return with_scrub(df)
+
+    stages = ["repartition", "trim", "heuristics", "langid", "ppl", "full"]
+    # warmup: full plan on a sample, twice
+    for s in (1, 2):
+        force(plan("full").sample(0.05, seed=s), f"warm{s}")
+
+    results = []
+    for st in stages:
+        t0, c0 = time.time(), cpu_seconds()
+        force(plan(st), st)
+        wall = time.time() - t0
+        cpu = cpu_seconds() - c0
+        results.append(
+            {
+                "stage": st,
+                "wall": round(wall, 2),
+                "cpu_sec": round(cpu, 1),
+                "avg_cores_busy": round(cpu / max(wall, 1e-9), 1),
+            }
+        )
+        print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+
+    shutil.rmtree(sink, ignore_errors=True)
+    print(json.dumps({"cpus": cpus, "n_rows": n_rows, "stages": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -80,10 +80,15 @@ def test_scrub_removed_pii(result):
 
 
 def test_langid_on_kept(result):
-    # langid runs and emits a known label with confidence in [0,1]
-    assert result.lang_pred.isin(
+    # langid runs on survivors and emits a known label; dropped rows
+    # are gated off the model (lang_pred = "", the evaluate-only-what-
+    # you-write rule)
+    kept = result[result.keep]
+    assert kept.lang_pred.isin(
         ["python", "java", "javascript", "markdown", "text"]
     ).all()
+    dropped = result[~result.keep]
+    assert (dropped.lang_pred == "").all()
 
 
 def test_metrics(spark, corpus_small):

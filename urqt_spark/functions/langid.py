@@ -108,30 +108,36 @@ LANGS, CENTROIDS = _build_model()
 
 def _flat_trigram_rows(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """(row_idx, bucket) for every within-row byte trigram of the whole
-    batch, computed over ONE flat byte array (no per-row Python work
-    beyond the unavoidable encode)."""
+    batch: rows joined with a 2-byte separator, FNV-1a over EVERY flat
+    position via direct slices (no per-trigram index arrays), then the
+    separator-crossing positions masked out."""
     bs = [(t or "").encode("utf-8", "ignore") for t in texts]
     R = len(bs)
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=R)
-    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
-    # within-row trigram start positions, built from row extents
     n3 = np.maximum(lens - 2, 0)
-    total = int(n3.sum())
-    if total == 0:
+    if int(n3.sum()) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    rows = np.repeat(np.arange(R, dtype=np.int64), n3)
-    first = np.concatenate(([0], np.cumsum(n3)))[:-1]
-    pos = (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(first, n3)
-        + np.repeat(starts, n3)
-    )
+    flat = np.frombuffer(b"\x00\x00".join(bs), dtype=np.uint8)
+    n_pos = flat.size - 2
     P, B = np.uint64(0x100000001B3), np.uint64(0xCBF29CE484222325)
-    h = np.full(total, B, dtype=np.uint64)
+    h = np.full(n_pos, B, dtype=np.uint64)
     for k in range(3):
-        h = (h ^ flat[pos + k].astype(np.uint64)) * P
-    return rows, (h % np.uint64(N_BUCKETS)).astype(np.int64)
+        h = (h ^ flat[k : n_pos + k].astype(np.uint64)) * P
+    buckets = (h % np.uint64(N_BUCKETS)).astype(np.int64)
+    # position → row: row r owns [starts[r], starts[r+1]) in position
+    # space (the last row is 2 shorter — no trailing separator)
+    starts = np.concatenate(([0], np.cumsum(lens + 2)))[:-1]
+    # clip: a tiny LAST row may start past the end of position space —
+    # the clipped-away positions are separator-crossing (invalid) and
+    # get attributed to the previous row, where the mask removes them
+    bounds = np.minimum(np.append(starts, n_pos), n_pos)
+    counts_pos = np.diff(bounds)
+    rows = np.repeat(np.arange(R, dtype=np.int64), counts_pos)
+    valid = np.ones(n_pos, dtype=bool)
+    if R > 1:
+        inv = (starts[1:][:, None] - 4 + np.arange(4)).ravel()
+        valid[np.clip(inv, 0, n_pos - 1)] = False
+    return rows[valid], buckets[valid]
 
 
 def predict_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
@@ -156,7 +162,10 @@ def predict_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return idx, conf
 
 
-def with_langid(df, text_col: str = "kept_text", cap_chars: int = 2000):
+def with_langid(df, text_col: str = "kept_text", gate_col: str | None = None, cap_chars: int = 2000):
+    """Add ``lang_pred``/``lang_conf``.  ``gate_col``: boolean column —
+    rows where it is false skip the model (pred = "", conf = 0.0), the
+    "spend Python only on survivors" rule."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
         DoubleType,
@@ -177,11 +186,15 @@ def with_langid(df, text_col: str = "kept_text", cap_chars: int = 2000):
         # bounded analysis window: language is identifiable from a
         # prefix; caps per-file cost for MB-sized files (the documented
         # truncated-analysis rule, like the reference's MAX_QUAL cap)
-        idx, conf = predict_batch(texts.fillna("").str.slice(0, cap_chars))
-        return pd.DataFrame(
-            {"lang_pred": [LANGS[i] for i in idx], "lang_conf": conf}
-        )
+        capped = texts.fillna("").str.slice(0, cap_chars)
+        idx, conf = predict_batch(capped)
+        # empty input (gated-off or trimmed-to-empty row) → no call
+        preds = ["" if e else LANGS[i] for i, e in zip(idx, capped.str.len().eq(0))]
+        return pd.DataFrame({"lang_pred": preds, "lang_conf": conf})
 
+    arg = F.col(text_col)
+    if gate_col is not None:
+        arg = F.when(F.col(gate_col), arg).otherwise(F.lit(""))
     # inline-generator expansion = evaluate exactly once
     # (see urqt_spark/operators/trim.py::with_trim)
-    return df.select("*", F.inline(F.array(langid_udf(F.col(text_col)))))
+    return df.select("*", F.inline(F.array(langid_udf(arg))))

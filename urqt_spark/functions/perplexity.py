@@ -86,54 +86,68 @@ def perplexity(text: str, model: dict[str, np.ndarray] | None = None) -> float:
 
 
 def perplexity_batch(texts: pd.Series) -> np.ndarray:
-    """Batch-vectorized: one flat byte array for all rows, within-row
-    trigram mask via searchsorted, per-row mean log-prob via bincount.
-    Identical values to :func:`perplexity` per row (tested)."""
+    """Batch-vectorized: rows joined into one flat byte array with a
+    2-byte separator, trigram terms computed for EVERY position via
+    direct slices (no per-trigram index arrays), boundary-crossing
+    positions zeroed, per-row mean log-prob via ``np.add.reduceat``.
+    Identical values to :func:`perplexity` per row (tested): each
+    valid trigram's term is the same arithmetic, summed left-to-right,
+    and the zeroed separator terms add exactly 0.0."""
     m = MODEL
     tl = [(t or "") for t in texts]
     R = len(tl)
+    out = np.zeros(R, dtype=np.float64)
+    if R == 0:
+        return out
     bs = [t.encode("utf-8", "ignore") for t in tl]
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=R)
-    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
-    out = np.zeros(R, dtype=np.float64)
-    if flat.size < 3:
-        return out
-    # within-row trigram positions built directly from row extents (no
-    # flat-size searchsorted, no crossing mask — keeps intermediates
-    # small and the page-fault footprint bounded)
+    flat = np.frombuffer(b"\x00\x00".join(bs), dtype=np.uint8)
+    n_pos = flat.size - 2
     n3 = np.maximum(lens - 2, 0)
-    total = int(n3.sum())
-    if total == 0:
+    if n_pos <= 0 or int(n3.sum()) == 0:
         return out
-    rows = np.repeat(np.arange(R, dtype=np.int32), n3)
-    first = np.concatenate(([0], np.cumsum(n3)))[:-1]
-    pos = (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(first, n3)
-        + np.repeat(starts, n3)
-    )
-    a, c, d = flat[pos], flat[pos + 1], flat[pos + 2]
+    a, c, d = flat[:-2], flat[1:-1], flat[2:]
     p3 = (m["tri"][_h3(a, c, d)] + _ADD_K) / (m["tri_ctx"][_h2(a, c)] + _ADD_K * 256)
     p2 = (m["bi"][_h2(c, d)] + _ADD_K) / (m["bi_ctx"][c] + _ADD_K * 256)
     p1 = (m["uni"][d] + _ADD_K) / (m["uni_total"] + _ADD_K * 256)
     lp = np.log(L3 * p3 + L2 * p2 + L1 * p1)
-    n_tri = np.bincount(rows, minlength=R)
-    s = np.bincount(rows, weights=lp, minlength=R)
-    nz = n_tri > 0
-    out[nz] = np.exp(-s[nz] / n_tri[nz])
+    # rows start at cumsum(lens + 2); the 4 trigram positions touching
+    # each 2-byte separator are invalid — zero their terms
+    starts = np.concatenate(([0], np.cumsum(lens + 2)))[:-1]
+    if R > 1:
+        bounds = starts[1:]  # separator ends, one per row boundary
+        inv = (bounds[:, None] - 4 + np.arange(4)).ravel()
+        lp[np.clip(inv, 0, n_pos - 1)] = 0.0
+    seg = np.minimum(starts, n_pos - 1)
+    s = np.add.reduceat(lp, seg)
+    # reduceat's empty/reversed-segment quirk returns lp[seg[r]], which
+    # is a zeroed separator slot whenever the segment is degenerate
+    nz = n3 > 0
+    out[nz] = np.exp(-s[nz] / n3[nz])
     return out
 
 
-def with_perplexity(df, text_col: str = "kept_text", cap_chars: int = 4000):
+def with_perplexity(df, text_col: str = "kept_text", gate_col: str | None = None, cap_chars: int = 4000):
+    """Add ``ppl``.  ``gate_col``: boolean column — rows where it is
+    false skip the model (ppl = 0.0), the "spend Python only on
+    survivors" rule.  The struct-UDF + ``inline`` expansion runs the
+    UDF exactly once per row (projection collapse would re-execute a
+    plain UDF expression per consumer; ``asNondeterministic`` also
+    works but lies to the optimizer and blocks filter pushdown)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import DoubleType
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    @F.pandas_udf(DoubleType())
-    def ppl_udf(texts: pd.Series) -> pd.Series:
+    schema = StructType([StructField("ppl", DoubleType(), False)])
+
+    @F.pandas_udf(schema)
+    def ppl_udf(texts: pd.Series) -> pd.DataFrame:
         # bounded analysis window (truncated-analysis rule): a 4 KB
         # prefix is a stable perplexity estimate and caps per-file cost
-        return pd.Series(perplexity_batch(texts.fillna("").str.slice(0, cap_chars)))
+        return pd.DataFrame(
+            {"ppl": perplexity_batch(texts.fillna("").str.slice(0, cap_chars))}
+        )
 
-    # nondeterministic mark = evaluate-once (see operators/trim.py)
-    return df.withColumn("ppl", ppl_udf.asNondeterministic()(F.col(text_col)))
+    arg = F.col(text_col)
+    if gate_col is not None:
+        arg = F.when(F.col(gate_col), arg).otherwise(F.lit(""))
+    return df.select("*", F.inline(F.array(ppl_udf(arg))))

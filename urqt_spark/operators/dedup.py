@@ -112,8 +112,6 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-
 
 def _blake8(s: str) -> int:
     """Deterministic 64-bit string hash at C speed (hashlib.blake2b —
@@ -131,27 +129,46 @@ def _shingle_base_hash(shingle_list: list[str]) -> np.ndarray:
     )
 
 
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a bijective uint64 mixer.  Used as the
+    per-permutation hash family h_j(x) = mix(x ^ seed_j): unlike the
+    usual (a*x+b) mod Mersenne61 written in wrapping uint64 arithmetic
+    (where a*x overflows mod 2^64 BEFORE the prime reduction, silently
+    breaking the universal-family guarantee), a bijective mixer keeps
+    distinct shingles distinct and its min-stability is the standard
+    one-permutation-hash argument."""
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def minhash_batch(
+    shingle_lists: list, num_perm: int = 64, seed: int = 42
+) -> list[list[int]]:
+    """Plain-python/NumPy MinHash signatures (shared by the Spark UDF
+    and fixture generation — one implementation, one truth)."""
+    rng = np.random.default_rng(seed)
+    seeds = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    sigs = []
+    for sh in shingle_lists:
+        if sh is None or len(sh) == 0:
+            sigs.append([0] * num_perm)
+            continue
+        x = _shingle_base_hash(list(sh))  # (S,)
+        v = _mix64(x[:, None] ^ seeds[None, :])  # (S, P)
+        sigs.append(v.min(axis=0).astype(np.int64).tolist())
+    return sigs
+
+
 def make_minhash_udf(num_perm: int = 64, seed: int = 42):
     """MinHash signature UDF: shingle array → array<long> of num_perm
-    minima under (a*x + b) mod Mersenne61 permutations.  The (a, b)
-    tables are fixed-seed driver constants closed over by the UDF
+    minima under splitmix64(x ^ seed_j) hash permutations.  The seed
+    table is a fixed-seed driver constant closed over by the UDF
     (broadcast-with-closure, like the reference's LUT)."""
-    rng = np.random.default_rng(seed)
-    A = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
-    Bv = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_udf(shingles: pd.Series) -> pd.Series:
-        sigs = []
-        for sh in shingles:
-            if sh is None or len(sh) == 0:
-                sigs.append([0] * num_perm)
-                continue
-            x = _shingle_base_hash(list(sh)) % _MERSENNE  # (S,)
-            # (S, P) permuted values; min over shingles per permutation
-            v = (x[:, None] * A[None, :] + Bv[None, :]) % _MERSENNE
-            sigs.append(v.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(sigs)
+        return pd.Series(minhash_batch(list(shingles), num_perm, seed))
 
     return minhash_udf
 
@@ -162,16 +179,23 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs at scale: signature → band buckets → equi-join on
     (band, bucket-hash) → exact-Jaccard verify of candidates only.
 
-    With 16 bands × 4 rows the S-curve crosses ~0.5 — candidates with
-    true Jaccard ≥ threshold are found with high probability while the
-    join stays linear in data size (no all-pairs)."""
+    Defaults (32 bands × 2 rows over 64 permutations) target the
+    near-dup regime: P(miss a J=0.5 pair) = (1-0.5²)³² ≈ 1e-4, and at
+    J≥0.8 it is < 1e-13 — so on fixed data the output is the exact
+    Jaccard-threshold pair set (verified against the all-pairs DuckDB
+    oracle at sf0.01).
+
+    Exchange hygiene (100-TB rule): the banded/exploded frame carries
+    ONLY (id, band, bucket) — never the shingle arrays (×bands payload
+    amplification through the shuffle); shingles are joined back for
+    the exact verify of the (few) candidates."""
     rows = num_perm // bands
     sh = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -180,8 +204,6 @@ def minhash_lsh_pairs(
     sig = sh.withColumn("sig", make_minhash_udf(num_perm, seed)(F.col("shingles")))
     banded = sig.select(
         "id",
-        "shingles",
-        "n_sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -199,7 +221,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "shingles", "n_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -208,15 +230,27 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pay = sh.select("id", "shingles", "n_sh")
+    cand = (
+        cand.join(
+            pay.select(
+                F.col("id").alias("id_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            pay.select(
+                F.col("id").alias("id_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
@@ -232,31 +266,50 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash_batch(texts: list) -> np.ndarray:
+    """64-bit SimHash fingerprints over word tokens (sign-sum of token
+    hash bits) — plain NumPy, shared by the Spark UDF and fixture
+    generation (one implementation, one truth)."""
+    R = len(texts)
+    shifts = np.arange(64, dtype=np.uint64)
+    if R == 0:
+        return np.zeros(0, dtype=np.int64)
+    # flat across the batch: hash every token once, vote per row
+    tok_lists = [(t or "").split(" ") for t in texts]
+    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=R)
+    hs = np.fromiter(
+        (_blake8(s) for row in tok_lists for s in row),
+        dtype=np.uint64,
+        count=int(counts.sum()),
+    )
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    votes_flat = bits * 2 - 1  # (T, 64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    votes = np.add.reduceat(votes_flat, starts, axis=0)  # (R, 64)
+    fp_bits = (votes > 0).astype(np.uint64)
+    return (fp_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
 def make_simhash_udf(seed: int = 42):
-    """64-bit SimHash over word tokens: sign-sum of token hash bits."""
+    """SimHash fingerprint UDF (see :func:`simhash_batch`)."""
 
     @F.pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        R = len(texts)
-        out = np.empty(R, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        # flat across the batch: hash every token once, vote per row
-        tok_lists = [(t or "").split(" ") for t in texts]
-        counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=R)
-        hs = np.fromiter(
-            (_blake8(s) for row in tok_lists for s in row),
-            dtype=np.uint64,
-            count=int(counts.sum()),
-        )
-        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        votes_flat = bits * 2 - 1  # (T, 64)
-        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        votes = np.add.reduceat(votes_flat, starts, axis=0)  # (R, 64)
-        fp_bits = (votes > 0).astype(np.uint64)
-        out = (fp_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
-        return pd.Series(out)
+        return pd.Series(simhash_batch(list(texts)))
 
     return simhash_udf
+
+
+def _chunk_bounds(n_bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Split ``n_bits`` into ``n_chunks`` contiguous (offset, width)
+    spans, widths differing by at most one."""
+    base, extra = divmod(n_bits, n_chunks)
+    bounds, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
 
 
 def simhash_neardup_pairs(
@@ -265,13 +318,23 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into four
-    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
-    equi-join on chunks, verify exact Hamming distance."""
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks — pigeonhole: any pair with Hamming
+    distance ≤ max_hamming has at least one chunk with ZERO differing
+    bits, so the chunk equi-join has guaranteed 100% recall — then
+    verify exact Hamming distance on the candidates.
+
+    (Round-1 bug fixed here: four fixed 16-bit chunks only guarantee
+    recall for hamming ≤ 3, but the entry query asks for ≤ 8; distance
+    4-8 pairs whose differing bits spread across all four chunks were
+    silently dropped.)"""
+    n_chunks = max_hamming + 1
     fp = df.select(
         F.col(id_col).cast("long").alias("id"),
         make_simhash_udf()(F.col(text_col)).alias("fp"),
     )
+    # fp is 8 bytes/row — carrying it through the ×n_chunks explode is
+    # cheap (unlike shingle arrays), so no join-back is needed
     chunks = fp.select(
         "id",
         "fp",
@@ -280,11 +343,11 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("fp"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("fp"), off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i, (off, width) in enumerate(_chunk_bounds(64, n_chunks))
                 ]
             )
         ).alias("c"),

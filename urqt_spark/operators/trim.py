@@ -47,11 +47,15 @@ TRIM_SCHEMA = StructType(
 )
 
 
-# "good" character membership table over ASCII codepoints (the good
-# class is pure ASCII; any codepoint >= 128 is bad by definition)
-_GOOD_TABLE = np.zeros(128, dtype=bool)
+# "good" character membership table over latin-1 byte values (the good
+# class is pure ASCII; any codepoint >= 128 is bad by definition, and
+# any codepoint > 255 latin-1-replaces to '?' which is also bad — so a
+# 1-byte latin-1 view classifies every character exactly while touching
+# 1/4 the memory of a UTF-32 decode)
+_GOOD_TABLE = np.zeros(256, dtype=bool)
 for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 _.,;:()=+*/<>#-":
     _GOOD_TABLE[ord(_ch)] = True
+assert not _GOOD_TABLE[ord("?")]  # the latin-1 replacement char is bad-class
 _ = GOOD_CHARS_PATTERN  # the table above must mirror this pattern (tested)
 
 
@@ -60,11 +64,11 @@ def batch_line_qualities(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list]:
     """Per-line qualities for a batch with ZERO per-line Python.
 
-    Each content string is decoded once to a UTF-32 codepoint array
-    (exact character semantics — the contract counts characters, not
-    bytes); newline positions give line boundaries; good-char counts
-    per line come from one table lookup + ``np.add.reduceat`` over the
-    whole batch.
+    Each content string is viewed once as a 1-byte latin-1 array
+    (chars > 255 replace to '?' — bad-class either way, and 1 char is
+    always 1 byte so line lengths stay exact CHARACTER counts); newline
+    positions give line boundaries; good-char counts per line come from
+    one table lookup + prefix-sum differences over the whole batch.
 
     Returns ``(q_flat, counts, line_starts, line_ends, texts)`` where
     ``line_starts``/``line_ends`` are flat per-line CHARACTER offsets
@@ -76,9 +80,9 @@ def batch_line_qualities(
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), z.copy(), z.copy(), texts
 
-    # one codepoint array for the whole batch, rows separated by '\n'
+    # one byte array for the whole batch, rows separated by '\n'
     joined = "\n".join(texts)
-    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    cp = np.frombuffer(joined.encode("latin-1", "replace"), dtype=np.uint8)
     nl = np.flatnonzero(cp == 10)
     # line k spans [starts_g[k], ends_g[k]) in the joined array
     starts_g = np.concatenate(([0], nl + 1))
@@ -95,10 +99,10 @@ def batch_line_qualities(
     assert int(counts.sum()) == n_lines_total
 
     L = (ends_g - starts_g).astype(np.float64)
-    good = (cp < 128) & _GOOD_TABLE[np.minimum(cp, 127)]
-    # per-line good counts; reduceat needs non-empty slices — guard by
-    # computing on cumsum differences instead
-    cg = np.concatenate(([0], np.cumsum(good.astype(np.int64))))
+    good = _GOOD_TABLE[cp]
+    # per-line good counts via int32 prefix sums (values are bounded by
+    # the batch char count, far under 2^31)
+    cg = np.concatenate(([0], np.cumsum(good, dtype=np.int32)))
     g = (cg[ends_g] - cg[starts_g]).astype(np.float64)
 
     with np.errstate(invalid="ignore", divide="ignore"):

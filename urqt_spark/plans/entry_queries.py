@@ -152,10 +152,30 @@ def make_trim_words_udf():
         ]
     )
 
+    # L·log(1/L) priors for all plausible lengths, precomputed once —
+    # each element is the same -L*log(L) double the scalar form yields
+    _prior_cache = np.zeros(1, dtype=np.float64)
+
+    def _priors(upto: int) -> np.ndarray:
+        nonlocal _prior_cache
+        if _prior_cache.size <= upto:
+            L = np.arange(max(upto + 1, 1024), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pr = -L * np.log(L)
+            pr[0] = 0.0
+            _prior_cache = pr
+        return _prior_cache
+
     @F.pandas_udf(schema)
     def trim_words_udf(qarrs: pd.Series) -> pd.DataFrame:
         cbs = np.empty(len(qarrs), dtype=np.int32)
         ces = np.empty(len(qarrs), dtype=np.int32)
+        # per-row numpy (NOT per-candidate Python): cumsums stay fresh
+        # per doc so every float matches the oracle's per-doc window
+        # sums; the candidate scans are vectorized argmaxes whose
+        # elementwise expression tree is the scalar loop's, term for
+        # term, and np.argmax takes the first max exactly like the
+        # strict `v > best` scan
         for r, qa in enumerate(qarrs):
             q = np.asarray(qa, dtype=np.int64)
             n = q.size
@@ -165,22 +185,16 @@ def make_trim_words_udf():
             tlk, tlb = lk[q - 1], lb[q - 1]
             ck = np.concatenate(([0.0], np.cumsum(tlk)))
             cb = np.concatenate(([0.0], np.cumsum(tlb)))
+            pr = _priors(n + 1)
 
-            def lp(L):
-                return -L * np.log(L) if L > 0 else 0.0
-
-            # tail scan: candidates i in [-1, n-1]
-            best, cut_end = -np.inf, n - 1
-            for i in range(-1, n):
-                v = ck[i + 1] + lp(float(i + 1)) + (cb[n] - cb[i + 1]) + lp(float(n - 1 - i))
-                if v > best:
-                    best, cut_end = v, i
-            # head scan: candidates i in [-1, cut_end]
-            best, cut_begin = -np.inf, 0
-            for i in range(-1, cut_end + 1):
-                v = cb[i + 1] + lp(float(i + 1)) + (ck[cut_end + 1] - ck[i + 1]) + lp(float(cut_end - i))
-                if v > best:
-                    best, cut_begin = v, i + 1
+            # tail scan: candidates i in [-1, n-1] → index j = i+1
+            j = np.arange(n + 1)
+            logl = ck[j] + pr[j] + (cb[n] - cb[j]) + pr[n - 1 - j + 1]
+            cut_end = int(np.argmax(logl)) - 1
+            # head scan: candidates i in [-1, cut_end] → index j = i+1
+            j = np.arange(cut_end + 2)
+            logl = cb[j] + pr[j] + (ck[cut_end + 1] - ck[j]) + pr[cut_end - j + 1]
+            cut_begin = int(np.argmax(logl))
             cbs[r], ces[r] = cut_begin, cut_end
         return pd.DataFrame({"cut_begin": cbs, "cut_end": ces})
 

@@ -93,10 +93,22 @@ def with_heuristics(df: DataFrame, cfg: FilterConfig, text_col: str = "kept_text
     return df.withColumn("qc_pass", qc)
 
 
-def with_scrub(df: DataFrame, text_col: str = "kept_text") -> DataFrame:
+def with_scrub(
+    df: DataFrame, text_col: str = "kept_text", gate_col: str | None = None
+) -> DataFrame:
+    """Regex scrub + sha.  ``gate_col``: boolean column — dropped rows
+    skip the whole regex chain (scrubbed = "" like the label contract;
+    the reference likewise never writes a dropped read,
+    /root/reference/Read.cpp:573-585)."""
     scrubbed = scrub_spark_col(F.col(text_col))
+    if gate_col is not None:
+        scrubbed = F.when(F.col(gate_col), scrubbed).otherwise(F.lit(""))
     return df.withColumn("content_scrubbed", scrubbed).withColumn(
-        "scrubbed_sha256", F.sha2(F.col("content_scrubbed"), 256)
+        "scrubbed_sha256",
+        F.when(
+            F.col(gate_col) if gate_col else F.lit(True),
+            F.sha2(F.col("content_scrubbed"), 256),
+        ).otherwise(F.lit("")),
     )
 
 
@@ -117,16 +129,19 @@ def quality_filter_plan(
     if cfg.heuristics_enabled:
         df = with_heuristics(df, cfg)
         df = df.withColumn("keep", F.col("keep") & F.col("qc_pass"))
+    # model + scrub stages run only on surviving rows ("spend Python
+    # and regex only on what will be written") — dropped rows get
+    # empty/zero outputs, matching the label contract
     if cfg.langid_enabled:
         from urqt_spark.functions.langid import with_langid
 
-        df = with_langid(df)
+        df = with_langid(df, gate_col="keep")
     if cfg.perplexity_enabled:
         from urqt_spark.functions.perplexity import with_perplexity
 
-        df = with_perplexity(df)
+        df = with_perplexity(df, gate_col="keep")
     if cfg.scrub_enabled:
-        df = with_scrub(df)
+        df = with_scrub(df, gate_col="keep")
     return df
 
 

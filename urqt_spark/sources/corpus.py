@@ -175,6 +175,7 @@ def generate_corpus(
                 "expected_keep": bool(keep),
                 "expected_trim_begin": int(cb),
                 "expected_trim_end": int(ce),
+                "expected_n_lines": len(lines),
                 "expected_scrubbed_sha256": hashlib.sha256(
                     scrubbed.encode()
                 ).hexdigest()
