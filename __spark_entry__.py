@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from urqt_spark.functions.scrub import scrub_spark_col, scrub_sql
-from urqt_spark.plans.entry_queries import WORD_Q_SQL, trim_words_cte, trim_words_df
+from urqt_spark.plans.entry_queries import (
+    WORD_Q_SQL,
+    trim_classes_df,
+    trim_classes_sql,
+    trim_words_cte,
+    trim_words_df,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -237,6 +243,13 @@ def q_trim_words(spark, sf_dir):
     return trim_words_df(spark, sf_dir)
 
 
+def q_trim_classes(spark, sf_dir):
+    """Class-mode EM trim (kernel O7-O12 + O14): cut_points_em with a
+    target class, armed clamps, collapse + boundary rule, min-size
+    decision — oracled in full (see entry_queries.trim_classes_sql)."""
+    return trim_classes_df(spark, sf_dir)
+
+
 def q_trim_stats_by_lang(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang"
@@ -380,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "trim_words": q_trim_words,
+        "trim_classes": q_trim_classes,
         "trim_stats_by_lang": q_trim_stats_by_lang,
         "pricing_summary": q_pricing_summary,
         "order_drop_propagation": q_order_drop_propagation,
@@ -543,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
         "trim_words": f"""
             WITH {trim_words_cte("documents")}
             SELECT doc_id, cut_begin, cut_end, keep, kept_words FROM trim""",
+        "trim_classes": trim_classes_sql("documents"),
         "trim_stats_by_lang": f"""
             WITH {trim_words_cte("documents")}
             SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

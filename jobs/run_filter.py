@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--min-read-size", type=int, default=0)
     p.add_argument("--min-qc-phred", type=int, default=0)
     p.add_argument("--min-qc-length", type=float, default=0.0)
+    # reference --r: write rows that trimmed to empty (Read.cpp:586-596)
+    p.add_argument("--keep-empty", "--r", action="store_true")
     # scale knobs
     p.add_argument("--langs", default=None, help="comma list → partition pruning")
     p.add_argument("--n-parts", type=int, default=256)
@@ -46,14 +48,16 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def main(argv=None) -> int:
+def main(argv=None, spark=None) -> int:
     args = parse_args(argv)
     from pyspark.sql import SparkSession
 
     from urqt_spark.config import FilterConfig
     from urqt_spark.plans.lineage import run_with_lineage
 
-    spark = SparkSession.builder.appName("urqt-quality-filter").getOrCreate()
+    owns_session = spark is None
+    if owns_session:
+        spark = SparkSession.builder.appName("urqt-quality-filter").getOrCreate()
     if args.shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
 
@@ -65,6 +69,7 @@ def main(argv=None) -> int:
         min_size=args.min_read_size,
         min_qc_phred=args.min_qc_phred,
         min_qc_length=args.min_qc_length,
+        keep_empty=args.keep_empty,
         salt_buckets=args.salt_buckets,
         langid_enabled=not args.no_langid,
         perplexity_enabled=not args.no_perplexity,
@@ -83,7 +88,8 @@ def main(argv=None) -> int:
         spark, df, args.output, args.lineage, cfg, n_parts=args.n_parts
     )
     print(json.dumps({"computed_partitions": computed, "n": len(computed)}))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

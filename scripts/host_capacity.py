@@ -1,0 +1,66 @@
+"""Host CPU-capacity ladder: aggregate busy-loop throughput at
+1/2/4/8/16/32 processes, plus cumulative steal.  This is the evidence
+base for the scaling-protocol window choice in BENCH/BASELINE.md —
+a pure-CPU spin loop has zero synchronization, so any sub-linear
+scaling it shows is the HOST's (SMT sharing, hypervisor
+oversubscription), not Spark's.
+
+Usage: python scripts/host_capacity.py [seconds_per_level]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _steal() -> float:
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8]) / _CLK
+
+
+def _spin(dur: float, out) -> None:
+    t_end = time.time() + dur
+    n = 0
+    x = 1.0
+    while time.time() < t_end:
+        for _ in range(100_000):
+            x = x * 1.0000001 + 1e-9
+        n += 100_000
+    out.put((n, x))
+
+
+def level(procs: int, dur: float) -> dict:
+    q = mp.Queue()
+    ps = [mp.Process(target=_spin, args=(dur, q)) for _ in range(procs)]
+    s0, t0 = _steal(), time.time()
+    for p in ps:
+        p.start()
+    total = sum(q.get()[0] for _ in ps)
+    for p in ps:
+        p.join()
+    wall = time.time() - t0
+    return {
+        "procs": procs,
+        "m_iters_per_sec": round(total / wall / 1e6, 1),
+        "steal_cores": round((_steal() - s0) / wall, 2),
+    }
+
+
+def main() -> None:
+    dur = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
+    levels = [level(k, dur) for k in (1, 2, 4, 8, 16, 32)]
+    base = levels[0]["m_iters_per_sec"]
+    for lv in levels:
+        lv["scaling_vs_1"] = round(lv["m_iters_per_sec"] / base / lv["procs"], 2)
+    print(json.dumps({"levels": levels, "sec_per_level": dur}))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,12 +24,17 @@ sys.path.insert(0, REPO)
 _CLK = os.sysconf("SC_CLK_TCK")
 
 
-def cpu_seconds() -> float:
+def cpu_seconds() -> tuple[float, float]:
+    """(work, steal) CPU-seconds: work = user+nice+system+irq+softirq
+    (CPU this guest actually burned), steal = time the hypervisor ran
+    someone else while we were runnable — reported separately because
+    this host's steal is large and bursty."""
     with open("/proc/stat") as fh:
         parts = fh.readline().split()
-    # user nice system idle iowait irq softirq steal
-    busy = sum(int(x) for x in parts[1:4]) + sum(int(x) for x in parts[6:9])
-    return busy / _CLK
+    # fields: user nice system idle iowait irq softirq steal
+    work = sum(int(x) for x in parts[1:4]) + int(parts[6]) + int(parts[7])
+    steal = int(parts[8])
+    return work / _CLK, steal / _CLK
 
 
 def main() -> None:
@@ -90,16 +95,20 @@ def main() -> None:
 
     results = []
     for st in stages:
-        t0, c0 = time.time(), cpu_seconds()
+        t0 = time.time()
+        w0, s0 = cpu_seconds()
         force(plan(st), st)
         wall = time.time() - t0
-        cpu = cpu_seconds() - c0
+        w1, s1 = cpu_seconds()
+        work, steal = w1 - w0, s1 - s0
         results.append(
             {
                 "stage": st,
                 "wall": round(wall, 2),
-                "cpu_sec": round(cpu, 1),
-                "avg_cores_busy": round(cpu / max(wall, 1e-9), 1),
+                "cpu_sec": round(work, 1),
+                "steal_sec": round(steal, 1),
+                "avg_cores_busy": round(work / max(wall, 1e-9), 1),
+                "avg_cores_stolen": round(steal / max(wall, 1e-9), 1),
             }
         )
         print(json.dumps(results[-1]), file=sys.stderr, flush=True)

@@ -1,0 +1,72 @@
+"""CLI surface (jobs/run_filter.py — reference UrQt.cpp:46-163): the
+spark-submit entry point parses its knobs, runs the lineage-checkpointed
+pipeline, and its options change behavior as documented."""
+
+import glob
+
+import pandas as pd
+
+from jobs.run_filter import main, parse_args
+
+
+def _write_corpus(tmp_path, n=120):
+    from urqt_spark.sources.corpus import generate_corpus
+
+    c = generate_corpus(n, seed=11, compute_labels=False)
+    p = str(tmp_path / "corpus.parquet")
+    c[["repo", "path", "commit", "lang", "content"]].to_parquet(p, index=False)
+    return p, c
+
+
+def _read_out(out_dir):
+    files = glob.glob(f"{out_dir}/part_id=*/*.parquet")
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def test_parse_reference_knobs():
+    a = parse_args(
+        "--input i --output o --lineage l --t 25 --pos tail "
+        "--max-head-trim 3 --min-read-size 2 --r --langs python,java".split()
+    )
+    assert (a.threshold, a.pos, a.max_head_trim) == (25, "tail", 3)
+    assert a.min_read_size == 2 and a.keep_empty and a.langs == "python,java"
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    inp, corpus = _write_corpus(tmp_path)
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+    rc = main(
+        [
+            "--input", inp, "--output", out, "--lineage", lin,
+            "--n-parts", "4", "--no-langid", "--no-perplexity",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = _read_out(out)
+    assert 0 < len(got) <= len(corpus)
+    assert set(got.columns) >= {"repo", "path", "content_scrubbed", "scrubbed_sha256"}
+    # lineage covers all 4 partitions
+    lineage = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{lin}/*.parquet")],
+        ignore_index=True,
+    )
+    assert sorted(lineage.part_id.unique()) == [0, 1, 2, 3]
+    assert (lineage.status == "done").all()
+    assert lineage.n_rows.sum() == len(corpus)
+    assert lineage.kept_rows.sum() == len(got)
+
+
+def test_cli_langs_pruning(spark, tmp_path):
+    inp, corpus = _write_corpus(tmp_path)
+    out, lin = str(tmp_path / "out_l"), str(tmp_path / "lin_l")
+    main(
+        [
+            "--input", inp, "--output", out, "--lineage", lin,
+            "--n-parts", "2", "--no-langid", "--no-perplexity",
+            "--langs", "python",
+        ],
+        spark=spark,
+    )
+    got = _read_out(out)
+    assert set(got.lang.unique()) == {"python"}

@@ -20,7 +20,7 @@ def corpus_df(spark, corpus_small):
 
 
 def _read_all(spark, out_dir):
-    df = spark.read.parquet(f"{out_dir}/part=*").toPandas()
+    df = spark.read.parquet(f"{out_dir}/part_id=*").toPandas()
     return df.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
 
 
@@ -56,3 +56,21 @@ def test_rerun_is_noop(spark, corpus_df, tmp_path_factory):
     run_with_lineage(spark, corpus_df, out, lin, CFG, n_parts=4)
     again = run_with_lineage(spark, corpus_df, out, lin, CFG, n_parts=4)
     assert again == []  # everything checkpointed, nothing recomputed
+
+
+def test_lineage_is_one_pass_not_per_partition(spark, corpus_df, tmp_path_factory):
+    """Structural regression: the run must NOT schedule one Spark job
+    per partition (the round-1 design ran n_parts sequential full-input
+    scans).  With n_parts=16 the whole run must stay within a handful
+    of jobs (sink write + input-stats + kept-readback + lineage append,
+    plus AQE sub-jobs)."""
+    base = tmp_path_factory.mktemp("lineage3")
+    out, lin = str(base / "out"), str(base / "lin")
+    sc = spark.sparkContext
+    sc.setJobGroup("lineage-one-pass", "job-count assertion")
+    try:
+        run_with_lineage(spark, corpus_df, out, lin, CFG, n_parts=16)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("lineage-one-pass")
+    assert 0 < len(jobs) <= 8, f"expected a constant few jobs, got {len(jobs)}"

@@ -120,3 +120,68 @@ def test_kept_rows_subset(spark, corpus_small):
     )
     k = kept_rows(out)
     assert k.count() == int(corpus_small.expected_keep.sum())
+
+
+def test_observe_metrics_on_sink(spark, corpus_small, tmp_path):
+    """O22 analogue: counters ride the sink action via df.observe —
+    no second pass — and equal the metrics() aggregation."""
+    from urqt_spark.plans.pipeline import observe_metrics
+
+    df = spark.createDataFrame(corpus_small)
+    cfg = FilterConfig(langid_enabled=False, perplexity_enabled=False)
+    out = quality_filter_plan(df, cfg)
+    observed, obs = observe_metrics(out)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "sink"))
+    got = obs.get
+    ref = metrics(quality_filter_plan(df, cfg)).collect()[0]
+    assert got["total_files"] == ref.total_files == len(corpus_small)
+    assert got["kept_files"] == ref.kept_files
+    assert got["dropped_files"] == ref.dropped_files
+    assert got["total_lines"] == ref.total_lines
+    assert got["kept_lines_total"] == ref.kept_lines_total
+
+
+def test_keep_empty_waives_empty_rule(spark):
+    """--r analogue: rows trimming to empty are kept (with empty
+    kept_text) when keep_empty is set; row decisions otherwise equal."""
+    import pandas as pd
+
+    # one file that is all low-quality noise (trims to empty) and one
+    # healthy file
+    noise = "\n".join(["\x01\x02\x03\x04" * 30] * 8)
+    good = "\n".join(["def f(x): return x + 1"] * 8)
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"] * 2,
+            "path": ["noise.py", "good.py"],
+            "commit": ["c"] * 2,
+            "lang": ["python"] * 2,
+            "content": [noise, good],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    base_cfg = FilterConfig(
+        langid_enabled=False, perplexity_enabled=False, heuristics_enabled=False
+    )
+    base = (
+        quality_filter_plan(df, base_cfg, repartition=False)
+        .select("path", "keep", "kept_text")
+        .toPandas()
+        .set_index("path")
+    )
+    kept_cfg = FilterConfig(
+        langid_enabled=False,
+        perplexity_enabled=False,
+        heuristics_enabled=False,
+        keep_empty=True,
+    )
+    kept = (
+        quality_filter_plan(df, kept_cfg, repartition=False)
+        .select("path", "keep", "kept_text")
+        .toPandas()
+        .set_index("path")
+    )
+    assert not base.loc["noise.py", "keep"]
+    assert kept.loc["noise.py", "keep"]          # empty row now written
+    assert kept.loc["noise.py", "kept_text"] == ""
+    assert base.loc["good.py", "keep"] and kept.loc["good.py", "keep"]

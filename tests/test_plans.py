@@ -1,0 +1,99 @@
+"""Physical-plan hygiene, enforced every round (SURVEY.md §4 scale
+rules).  These assert the plans we ship are the plans we'd want at
+100 TB: pruning reaches the scan, codegen spans exist, small sides
+broadcast, the flagship has exactly one shuffle, and LSH candidate
+shuffles carry ids only."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from urqt_spark.config import FilterConfig
+from urqt_spark.plans.pipeline import metrics, quality_filter_plan
+
+CFG = FilterConfig(langid_enabled=False, perplexity_enabled=False)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(spark, corpus_small, tmp_path_factory):
+    """Corpus written as lang-partitioned parquet — the Iceberg-style
+    layout the north rule assumes (partition pruning on lang)."""
+    out = str(tmp_path_factory.mktemp("plans") / "corpus")
+    spark.createDataFrame(
+        corpus_small[["repo", "path", "commit", "lang", "content"]]
+    ).write.partitionBy("lang").parquet(out)
+    return spark.read.parquet(out)
+
+
+def test_lang_pruning_reaches_scan(corpus_parquet):
+    plan = _plan(quality_filter_plan(corpus_parquet, CFG, langs=["python"]))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), f"no partition filter on lang: {m}"
+
+
+def test_column_pruning_reaches_scan(corpus_parquet):
+    # a path-only projection must not read `content` (ReadSchema)
+    plan = _plan(corpus_parquet.filter(F.col("lang") == "python").select("path"))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "content" not in m.group(1), f"content not pruned: {m.group(1)}"
+
+
+def test_metrics_plan_has_codegen(corpus_parquet):
+    df = metrics(quality_filter_plan(corpus_parquet, CFG))
+    df.collect()  # AQE: codegen spans appear once the plan is final
+    plan = _plan(df)
+    # "*(n)" node prefixes are the WholeStageCodegen stage markers
+    assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+def test_flagship_single_shuffle(corpus_parquet):
+    # exactly ONE Exchange: the salted repartition; every stage after
+    # it is narrow
+    plan = _plan(quality_filter_plan(corpus_parquet, CFG))
+    n_ex = plan.count("Exchange ")
+    assert n_ex == 1, f"flagship has {n_ex} shuffles, want 1"
+
+
+def test_drop_propagation_broadcasts(spark):
+    li = spark.createDataFrame(
+        [(i, float(i % 10) / 100) for i in range(1000)],
+        ["l_orderkey", "l_discount"],
+    )
+    bad = li.filter(F.col("l_discount") > 0.05).select("l_orderkey").distinct()
+    plan = _plan(li.join(F.broadcast(bad), "l_orderkey", "left_anti"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_minhash_exchange_carries_ids_only(spark):
+    """The LSH candidate shuffle must never carry shingle arrays
+    (payload amplification ×bands through the exchange)."""
+    from urqt_spark.operators.dedup import minhash_banded, word_shingles_col
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        word_shingles_col("text", 3).alias("shingles"),
+    )
+    banded = minhash_banded(sh)
+    assert banded.columns == ["id", "band", "bucket"]
+    # and no array type anywhere in the banded schema
+    assert not any("array" in f.dataType.simpleString() for f in banded.schema)
+
+
+def test_ann_exchange_carries_ids_only(spark):
+    from urqt_spark.operators.similarity import lsh_bucketed
+
+    v = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -1.0]) for i in range(20)], ["id", "v"]
+    )
+    banded = lsh_bucketed(v, dim=4, n_planes=2, n_tables=3)
+    assert banded.columns == ["id", "table", "bucket"]
+    assert not any("array" in f.dataType.simpleString() for f in banded.schema)

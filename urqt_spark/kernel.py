@@ -460,6 +460,7 @@ def trim_batch(
     min_qc_phred: int = 0,
     min_qc_length: float = 0.0,
     min_size: int = 0,
+    keep_empty: bool = False,
     lut: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """QC trim for a batch of files.
@@ -468,6 +469,11 @@ def trim_batch(
     ``counts[r]``: number of lines of row r (must be >= 1 — an empty
     file is one empty line).  Returns ``(cut_begin, cut_end, keep)``
     arrays of length ``len(counts)``.
+
+    ``keep_empty`` waives the empty-result rule (the reference's
+    ``--r``: paired mode writes a read even when it trimmed to
+    nothing, ``/root/reference/Read.cpp:586-596``) — armed size/QC
+    filters still apply.
     """
     counts = np.asarray(counts, dtype=np.int64)
     R = counts.size
@@ -551,7 +557,10 @@ def trim_batch(
             cut_begin = np.minimum(cut_begin, max_head)
 
     # decision: QC % filter, size filter, empty rule — all vectorized
-    keep = (cut_end - cut_begin) > 0
+    if keep_empty:
+        keep = np.ones(R, dtype=bool)
+    else:
+        keep = (cut_end - cut_begin) > 0
     if min_size > 0:
         keep &= (cut_end - cut_begin) >= min_size
     if min_qc_phred > 0 and min_qc_length > 0:

@@ -173,6 +173,36 @@ def make_minhash_udf(num_perm: int = 64, seed: int = 42):
     return minhash_udf
 
 
+def minhash_banded(
+    sh: DataFrame, num_perm: int = 64, bands: int = 32, seed: int = 42
+) -> DataFrame:
+    """(id, band, bucket) — the ONLY columns allowed through the LSH
+    candidate shuffle (exchange-hygiene contract, tested in
+    tests/test_plans.py).  ``sh`` must have (id, shingles)."""
+    rows = num_perm // bands
+    sig = sh.withColumn("sig", make_minhash_udf(num_perm, seed)(F.col("shingles")))
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -196,32 +226,11 @@ def minhash_lsh_pairs(
     ONLY (id, band, bucket) — never the shingle arrays (×bands payload
     amplification through the shuffle); shingles are joined back for
     the exact verify of the (few) candidates."""
-    rows = num_perm // bands
     sh = df.select(
         F.col(id_col).cast("long").alias("id"),
         word_shingles_col(text_col, n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
-    sig = sh.withColumn("sig", make_minhash_udf(num_perm, seed)(F.col("shingles")))
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows + 1, rows),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = minhash_banded(sh, num_perm=num_perm, bands=bands, seed=seed)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

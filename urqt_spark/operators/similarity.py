@@ -106,6 +106,24 @@ def make_lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return bucket_udf
 
 
+def lsh_bucketed(
+    v: DataFrame, dim: int, n_planes: int = 4, n_tables: int = 24
+) -> DataFrame:
+    """(id, table, bucket) — the ONLY columns allowed through the ANN
+    candidate shuffle (exchange-hygiene contract, tested in
+    tests/test_plans.py).  ``v`` must have (id, v)."""
+    tabs = []
+    for t in range(n_tables):
+        udf = make_lsh_bucket_udf(dim, n_planes, seed=42 + t)
+        tabs.append(
+            v.select("id", F.lit(t).alias("table"), udf(F.col("v")).alias("bucket"))
+        )
+    banded = tabs[0]
+    for t in tabs[1:]:
+        banded = banded.unionByName(t)
+    return banded
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     dim: int,
@@ -132,17 +150,7 @@ def lsh_neardup_pairs(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    tabs = []
-    for t in range(n_tables):
-        udf = make_lsh_bucket_udf(dim, n_planes, seed=42 + t)
-        tabs.append(
-            v.select(
-                "id", F.lit(t).alias("table"), udf(F.col("v")).alias("bucket")
-            )
-        )
-    banded = tabs[0]
-    for t in tabs[1:]:
-        banded = banded.unionByName(t)
+    banded = lsh_bucketed(v, dim, n_planes=n_planes, n_tables=n_tables)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

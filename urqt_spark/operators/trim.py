@@ -141,6 +141,7 @@ def make_trim_udf(cfg: FilterConfig):
             min_qc_phred=cfg.min_qc_phred,
             min_qc_length=cfg.min_qc_length,
             min_size=cfg.min_size,
+            keep_empty=cfg.keep_empty,
             lut=lut,
         )
         # kept text = one string slice per row by character offsets —

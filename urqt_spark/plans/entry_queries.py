@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
 
 from urqt_spark.kernel import LOG_QUARTER, phred_lut
 
@@ -199,6 +199,225 @@ def make_trim_words_udf():
         return pd.DataFrame({"cut_begin": cbs, "cut_end": ces})
 
     return trim_words_udf
+
+
+# ---------------------------------------------------------------------------
+# class-mode EM trim (kernel O7-O12 + O14 under the oracle)
+# ---------------------------------------------------------------------------
+# Exercises cut_points_em (reference Segmentation.cpp:166-284): class-
+# weighted keep/bad terms, the soft-count E-step composition, head/tail
+# trim clamps, whole-file collapse, the boundary-keep rule, and the
+# min-size filter.  max_iter=1 pins the EM at its uniform-pi first
+# iteration, which is exactly SQL-expressible (the multi-iteration
+# fixed point is covered by tests/test_kernel.py); everything AFTER the
+# scans (clamps, collapse via the re-estimated composition, boundary
+# extension) is the REAL post-EM machinery, oracled in full.
+
+TC_TARGET = 0       # "poly-N letter" analogue: word-length class 0
+TC_MAX_HEAD = 5     # O10 clamps, armed
+TC_MAX_TAIL = 5
+TC_MIN_SIZE = 3     # O14 filter, armed
+_P3 = (1.0 - _LUT) / 3.0  # per-q off-class soft count (exact doubles)
+
+
+def tc_lut_sql() -> str:
+    """(q, lk, lb, p, p3) literal table: the class-mode terms plus the
+    soft-count values, all 17-digit doubles shared with the kernel."""
+    rows = ",".join(
+        f"({q + 1}, {_fmt(_LK[q])}, {_fmt(_LB[q])}, {_fmt(_LUT[q])}, {_fmt(_P3[q])})"
+        for q in range(44)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS lut(q, lk, lb, p, p3))"
+
+
+def make_trim_classes_udf():
+    """Per-row REAL kernel call (`cut_points_em` + `decide`) on word
+    qualities and word classes — the operator under test is the kernel
+    itself, not a re-derivation."""
+    from urqt_spark.kernel import cut_points_em, decide
+
+    lut = _LUT.copy()
+    schema = StructType(
+        [
+            StructField("cut_begin", IntegerType(), False),
+            StructField("cut_end", IntegerType(), False),
+            StructField("keep", BooleanType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def trim_classes_udf(qarrs: pd.Series, carrs: pd.Series) -> pd.DataFrame:
+        R = len(qarrs)
+        cbs = np.empty(R, dtype=np.int32)
+        ces = np.empty(R, dtype=np.int32)
+        ks = np.empty(R, dtype=bool)
+        for r in range(R):
+            q = np.asarray(qarrs.iloc[r], dtype=np.int64)
+            cls = np.asarray(carrs.iloc[r], dtype=np.int64)
+            p = lut[q - 1]
+            cb, ce = cut_points_em(
+                p,
+                cls,
+                target_class=TC_TARGET,
+                max_head=TC_MAX_HEAD,
+                max_tail=TC_MAX_TAIL,
+                max_iter=1,
+            )
+            cbs[r], ces[r] = cb, ce
+            ks[r] = decide(q, cb, ce, min_size=TC_MIN_SIZE)
+        return pd.DataFrame({"cut_begin": cbs, "cut_end": ces, "keep": ks})
+
+    return trim_classes_udf
+
+
+def trim_classes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    q = F.transform(
+        words,
+        lambda w: F.greatest(F.lit(1), F.least(F.lit(44), F.length(w) * 5)).cast("int"),
+    )
+    cls = F.transform(words, lambda w: (F.length(w) % 4).cast("int"))
+    t = F.col("_t")
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            q.alias("q"),
+            cls.alias("cls"),
+        )
+        .withColumn("_t", make_trim_classes_udf()(F.col("q"), F.col("cls")))
+        .select(
+            "doc_id",
+            t["cut_begin"].cast("long").alias("cut_begin"),
+            t["cut_end"].cast("long").alias("cut_end"),
+            t["keep"].alias("keep"),
+        )
+    )
+
+
+def trim_classes_sql(docs_rel: str = "documents") -> str:
+    """Full DuckDB oracle for `trim_classes_df`: uniform-pi class-mode
+    scans (keep term lk + ln(1/4), bad term lk for the target class
+    else lb), trim clamps, soft-composition collapse at pi0 >= 0.99,
+    boundary-keep extension, min-size decision."""
+    logq = _fmt(LOG_QUARTER)
+    mh, mt, ms, tc = TC_MAX_HEAD, TC_MAX_TAIL, TC_MIN_SIZE, TC_TARGET
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS i
+  FROM {docs_rel}
+),
+terms AS (
+  SELECT doc_id, i, (length(w) % 4) AS cls,
+         lut.lk + {logq} AS kt,
+         CASE WHEN (length(w) % 4) = {tc} THEN lut.lk ELSE lut.lb END AS bt,
+         CASE WHEN (length(w) % 4) = {tc} THEN lut.p ELSE lut.p3 END AS s0,
+         lut.p + 3 * lut.p3 AS stot
+  FROM (SELECT doc_id, i, w, {WORD_Q_SQL} AS q FROM words) wq
+  JOIN {tc_lut_sql()} lut USING (q)
+),
+cums AS (
+  SELECT doc_id, i, cls, s0, stot,
+         SUM(kt) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+         SUM(bt) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM terms
+),
+doc_n AS (
+  SELECT c.doc_id, mx.n, c.cb AS cbn
+  FROM cums c
+  JOIN (SELECT doc_id, COUNT(*) AS n FROM cums GROUP BY doc_id) mx
+    ON c.doc_id = mx.doc_id AND c.i = mx.n - 1
+),
+tail_cand AS (
+  SELECT c.doc_id, c.i,
+         c.ck + (CASE WHEN c.i + 1 > 0 THEN -(c.i + 1) * ln(CAST(c.i + 1 AS DOUBLE)) ELSE 0.0 END)
+              + (d.cbn - c.cb)
+              + (CASE WHEN d.n - 1 - c.i > 0 THEN -(d.n - 1 - c.i) * ln(CAST(d.n - 1 - c.i AS DOUBLE)) ELSE 0.0 END)
+         AS logl
+  FROM cums c JOIN doc_n d USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, -1,
+         d.cbn + (CASE WHEN d.n > 0 THEN -d.n * ln(CAST(d.n AS DOUBLE)) ELSE 0.0 END)
+  FROM doc_n d
+),
+tail_best AS (
+  SELECT t.doc_id,
+         CASE WHEN b.cut_end < t.n - {mt} - 1 THEN t.n - {mt} - 1 ELSE b.cut_end END AS cut_end,
+         t.n
+  FROM (SELECT doc_id, i AS cut_end FROM tail_cand
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY logl DESC, i ASC) = 1) b
+  JOIN (SELECT DISTINCT doc_id, n FROM doc_n) t USING (doc_id)
+),
+head_cand AS (
+  SELECT c.doc_id, c.i,
+         c.cb + (CASE WHEN c.i + 1 > 0 THEN -(c.i + 1) * ln(CAST(c.i + 1 AS DOUBLE)) ELSE 0.0 END)
+              + (ck1.ckk - c.ck)
+              + (CASE WHEN t.cut_end - c.i > 0 THEN -(t.cut_end - c.i) * ln(CAST(t.cut_end - c.i AS DOUBLE)) ELSE 0.0 END)
+         AS logl
+  FROM cums c
+  JOIN tail_best t USING (doc_id)
+  JOIN (SELECT c2.doc_id, c2.ck AS ckk
+        FROM cums c2 JOIN tail_best t2 ON c2.doc_id = t2.doc_id AND c2.i = t2.cut_end) ck1
+    USING (doc_id)
+  WHERE c.i <= t.cut_end
+  UNION ALL
+  SELECT t.doc_id, -1,
+         0.0 + ck1.ckk
+             + (CASE WHEN t.cut_end + 1 > 0 THEN -(t.cut_end + 1) * ln(CAST(t.cut_end + 1 AS DOUBLE)) ELSE 0.0 END)
+  FROM tail_best t
+  JOIN (SELECT c2.doc_id, c2.ck AS ckk
+        FROM cums c2 JOIN tail_best t2 ON c2.doc_id = t2.doc_id AND c2.i = t2.cut_end) ck1
+    ON t.doc_id = ck1.doc_id
+  WHERE t.cut_end >= 0
+  UNION ALL
+  SELECT doc_id, -1, 0.0 FROM tail_best WHERE cut_end < 0
+),
+head_best AS (
+  SELECT doc_id, LEAST(cut_begin, {mh}) AS cut_begin
+  FROM (SELECT doc_id, i + 1 AS cut_begin FROM head_cand
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY logl DESC, i ASC) = 1) x
+),
+scan AS (
+  SELECT t.doc_id, h.cut_begin, t.cut_end, t.n
+  FROM tail_best t JOIN head_best h USING (doc_id)
+),
+comp AS (
+  -- re-estimated composition of the kept segment (the E-step counts)
+  SELECT s.doc_id, SUM(c.s0) / SUM(c.stot) AS pi0
+  FROM scan s JOIN cums c
+    ON c.doc_id = s.doc_id AND c.i BETWEEN s.cut_begin AND s.cut_end
+  GROUP BY s.doc_id
+),
+nbr AS (
+  SELECT s.doc_id, ce_nb.cls AS cls_after, cb_nb.cls AS cls_before
+  FROM scan s
+  LEFT JOIN cums ce_nb ON ce_nb.doc_id = s.doc_id AND ce_nb.i = s.cut_end + 1
+  LEFT JOIN cums cb_nb ON cb_nb.doc_id = s.doc_id AND cb_nb.i = s.cut_begin - 1
+),
+final AS (
+  SELECT s.doc_id,
+    CASE
+      WHEN s.cut_end < s.cut_begin OR comp.pi0 >= 0.99 THEN 0
+      WHEN s.cut_end != s.cut_begin AND s.cut_begin > 0 AND nbr.cls_before = {tc}
+        THEN s.cut_begin - 1
+      ELSE s.cut_begin END AS cut_begin,
+    CASE
+      WHEN s.cut_end < s.cut_begin OR comp.pi0 >= 0.99 THEN 0
+      WHEN s.cut_end != s.cut_begin AND s.cut_end >= 0 AND s.cut_end < s.n - 1 AND nbr.cls_after = {tc}
+        THEN s.cut_end + 1
+      ELSE s.cut_end END AS cut_end
+  FROM scan s
+  LEFT JOIN comp USING (doc_id)
+  LEFT JOIN nbr USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cut_begin AS BIGINT) AS cut_begin,
+       CAST(cut_end AS BIGINT) AS cut_end,
+       (cut_end - cut_begin) > 0 AND (cut_end - cut_begin) >= {ms} AS keep
+FROM final"""
 
 
 def trim_words_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,15 +8,31 @@ physical task/partition numbering (which changes under retries and
 AQE).  A run:
 
 1. reads the lineage table (if any) and collects DONE partition ids;
-2. processes only the remaining ids, writing each as its own
-   ``part=<id>`` output directory (idempotent overwrite);
-3. appends a lineage row (id, n_rows, kept, sha-of-keys, status) after
-   the partition's output commit.
+2. processes ALL remaining ids in ONE Spark job: a single pipeline
+   pass over ``part_id IN todo`` written with ``partitionBy(part_id)``
+   under dynamic partition overwrite (only the partitions present in
+   this run's output are replaced — idempotent re-runs);
+3. computes per-partition stats (rows, kept, order-insensitive key
+   digest) in one groupBy over the same pass and appends them to the
+   lineage table after the output commit.
 
 A killed run resumes by construction: completed partitions are skipped
-via an anti-join on lineage, and re-running a partition overwrites the
-same directory with identical bytes (everything downstream of the
-stable keys is deterministic).
+via the lineage read, and re-running a partition overwrites the same
+``part=<id>`` directory with identical content (everything downstream
+of the stable keys is deterministic).
+
+Scale notes (the round-1 design reviewed badly and is gone):
+
+* one job total, not one sequential job per partition — n_parts=256
+  used to mean 256 full input scans;
+* the key digest is ``bit_xor(xxhash64(key))`` — an order-insensitive
+  per-row hash aggregate that partially aggregates map-side; the old
+  ``sha2(concat(sort_array(collect_list(...))))`` built one
+  unbounded row on the driver;
+* the write and the stats share one shuffle-free pipeline pass
+  (two actions over the same narrow plan; the scan is the only cost
+  repeated, and at 100 TB the scan is cheaper than caching the
+  scrubbed output).
 
 This replaces the reference's tmp-file + re-read restart machinery
 (``/root/reference/Read.cpp:112-166, 196-299``) with table state.
@@ -32,7 +48,12 @@ from pyspark.sql import functions as F
 from urqt_spark.config import FilterConfig
 from urqt_spark.plans.pipeline import quality_filter_plan
 
-LINEAGE_COLS = ["part_id", "status", "n_rows", "kept_rows", "keys_sha"]
+LINEAGE_COLS = ["part_id", "status", "n_rows", "kept_rows", "keys_digest"]
+
+OUTPUT_COLS = [
+    "repo", "path", "commit", "lang", "content_scrubbed",
+    "cut_begin", "cut_end", "scrubbed_sha256",
+]
 
 
 def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
@@ -66,39 +87,72 @@ def run_with_lineage(
     n_parts: int = 16,
     fail_after: int | None = None,
 ) -> list[int]:
-    """Process all partitions not yet marked done.  ``fail_after``
-    (tests only) aborts after that many partitions to simulate a kill.
-    Returns the list of partition ids computed in THIS run."""
+    """Process all partitions not yet marked done, in ONE Spark job.
+    ``fail_after`` (tests only) restricts the run to that many
+    partitions to simulate a kill between checkpoint commits.
+    Returns the sorted list of partition ids computed in THIS run."""
     cfg = cfg or FilterConfig()
     df = with_part_id(df, n_parts)
     done = done_part_ids(spark, lineage_dir)
     todo = sorted(set(range(n_parts)) - done)
-    computed: list[int] = []
-    for idx, pid in enumerate(todo):
-        if fail_after is not None and idx >= fail_after:
-            break
-        part = df.filter(F.col("part_id") == pid)
-        out = quality_filter_plan(part, cfg, repartition=False)
-        result = out.filter(F.col("keep")).select(
-            "repo", "path", "commit", "lang", "content_scrubbed",
-            "cut_begin", "cut_end", "scrubbed_sha256",
+    if fail_after is not None:
+        todo = todo[:fail_after]
+    if not todo:
+        return []
+
+    part = df.filter(F.col("part_id").isin([int(p) for p in todo]))
+    out = quality_filter_plan(part, cfg, repartition=False)
+
+    # one write, all partitions: dynamic overwrite replaces exactly the
+    # part= directories this run produced, leaving done ones untouched
+    (
+        out.filter(F.col("keep"))
+        .select("part_id", *OUTPUT_COLS)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id")
+        .parquet(out_dir)
+    )
+
+    # per-partition stats WITHOUT re-running the UDF pipeline:
+    # row count + order-insensitive key digest (bit_xor of per-row
+    # xxhash64 — partially aggregates map-side, no sort, no driver
+    # row) need only the input scan; kept counts are read back from
+    # the sink just written (column-pruned count — parquet footers).
+    in_stats = {
+        r.part_id: r
+        for r in part.groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.hex(
+                F.bit_xor(F.xxhash64(F.concat_ws("/", "repo", "path", "commit")))
+            ).alias("keys_digest"),
         )
-        # per-partition idempotent commit
-        result.write.mode("overwrite").parquet(os.path.join(out_dir, f"part={pid}"))
-        stats = out.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("keep").cast("long")).alias("kept"),
-            F.sha2(
-                F.concat_ws(
-                    ",", F.sort_array(F.collect_list(F.concat_ws("/", "repo", "path", "commit")))
-                ),
-                256,
-            ).alias("keys_sha"),
-        ).collect()[0]
-        lin_row = spark.createDataFrame(
-            [(pid, "done", int(stats.n or 0), int(stats.kept or 0), stats.keys_sha)],
-            schema="part_id int, status string, n_rows long, kept_rows long, keys_sha string",
-        )
-        lin_row.write.mode("append").parquet(lineage_dir)
-        computed.append(pid)
-    return computed
+        .collect()
+    }
+    kept = {
+        r.part_id: r.kept
+        for r in spark.read.parquet(out_dir)
+        .filter(F.col("part_id").isin([int(p) for p in todo]))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .collect()
+    }
+    # an id with zero input rows yields no groupBy row but is still
+    # done (it was scanned); give it an explicit zero row so resume
+    # never reprocesses it
+    lin = spark.createDataFrame(
+        [
+            (
+                int(p),
+                "done",
+                int(in_stats[p].n_rows) if p in in_stats else 0,
+                int(kept.get(p, 0)),
+                in_stats[p].keys_digest if p in in_stats else "0",
+            )
+            for p in todo
+        ],
+        schema="part_id int, status string, n_rows long, kept_rows long, keys_digest string",
+    )
+    lin.coalesce(1).write.mode("append").parquet(lineage_dir)
+    return todo

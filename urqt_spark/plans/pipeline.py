@@ -128,7 +128,13 @@ def quality_filter_plan(
     df = with_trim(df, cfg)
     if cfg.heuristics_enabled:
         df = with_heuristics(df, cfg)
-        df = df.withColumn("keep", F.col("keep") & F.col("qc_pass"))
+        qc = F.col("qc_pass")
+        if cfg.keep_empty:
+            # --r placeholder rows (trimmed to empty, kept for pairing
+            # — reference Read.cpp:586-596 writes them unconditionally)
+            # bypass content QC; rows with actual content still face it
+            qc = qc | (F.col("cut_end") <= F.col("cut_begin"))
+        df = df.withColumn("keep", F.col("keep") & qc)
     # model + scrub stages run only on surviving rows ("spend Python
     # and regex only on what will be written") — dropped rows get
     # empty/zero outputs, matching the label contract
@@ -148,6 +154,35 @@ def quality_filter_plan(
 def kept_rows(df: DataFrame) -> DataFrame:
     """The surviving table (reference: the written fastq, Read.cpp:573-611)."""
     return df.filter(F.col("keep"))
+
+
+def observe_metrics(df: DataFrame, name: str = "quality_filter_metrics"):
+    """Attach the reference's live progress counters
+    (``/root/reference/Read.cpp:22-47``, ``ezRateProgressBar.hpp``) as
+    a zero-cost ``df.observe``: the aggregates ride the SINK action
+    (no second pass over the data, unlike :func:`metrics`) and are
+    readable from the returned ``Observation`` the moment the write
+    finishes — on a cluster, also streamed per-task to any registered
+    ``QueryExecutionListener``.
+
+    Returns ``(df, observation)``; call an action on ``df`` (e.g. the
+    production sink write), then read ``observation.get``."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_files"),
+        F.sum(F.col("keep").cast("long")).alias("kept_files"),
+        F.sum((~F.col("keep")).cast("long")).alias("dropped_files"),
+        F.sum("n_lines").alias("total_lines"),
+        F.sum(
+            F.when(
+                F.col("keep"), F.col("cut_end") - F.col("cut_begin") + 1
+            ).otherwise(F.lit(0))
+        ).alias("kept_lines_total"),
+    )
+    return df, obs
 
 
 def metrics(df: DataFrame) -> DataFrame:

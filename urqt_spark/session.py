@@ -22,6 +22,12 @@ def get_spark(
     # so the python workers it spawns inherit it.
     os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    # one BLAS thread per python worker: N workers each spawning a
+    # core-count OpenBLAS pool (the langid matmul is a BLAS call) would
+    # run N*32 threads and thrash at high parallelism — the standard
+    # Spark+NumPy rule is worker-level parallelism only
+    for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     # local[N,3]: allow task retries — transient python-worker deaths
     # observed in this microVM would otherwise kill the whole job
     # (local-mode default maxFailures=1)
@@ -46,6 +52,15 @@ def get_spark(
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # under host CPU steal a fully-loaded local[N] JVM can starve
+        # the heartbeat RPC for >10s and kill the whole context
+        # (observed: Executor heartbeater RpcTimeoutException →
+        # SparkContext shutdown mid-sink); widen the windows
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "600s")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
