@@ -317,15 +317,15 @@ def q_top_customers(spark, sf_dir):
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
-    # NTZ→TZ cast below must interpret the naive value as UTC no matter
-    # what session the driver hands us, to match DuckDB's epoch_us
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ in the parquet; cast via UTC session tz
-    # (urqt_spark.session pins spark.sql.session.timeZone=UTC) so
-    # unix_micros matches DuckDB's epoch_us on the naive value
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # ts is TIMESTAMP_NTZ in the parquet; measure it against the NTZ
+    # epoch with timestampdiff — a pure function of the naive value,
+    # independent of spark.sql.session.timeZone (round 1 mutated the
+    # session conf here, leaking a side effect into every later query)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
     gap = us - F.lag(us).over(w)
     marked = ev.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)

@@ -75,10 +75,9 @@ def main(argv=None, spark=None) -> int:
         perplexity_enabled=not args.no_perplexity,
         scrub_enabled=not args.no_scrub,
     )
-    if args.format == "iceberg":
-        df = spark.read.format("iceberg").load(args.input)
-    else:
-        df = spark.read.parquet(args.input)
+    from urqt_spark.sources.catalog import load_table
+
+    df = load_table(spark, args.input, fmt=args.format)
     if args.langs:
         from pyspark.sql import functions as F
 

@@ -1,0 +1,38 @@
+"""Build dist/quality_filter.zip — the spark-submit --py-files package
+(north_rule: "ships as a spark-submit --py-files package").
+
+    python scripts/package_pyfiles.py
+    spark-submit --py-files dist/quality_filter.zip jobs/run_filter.py ...
+
+The zip contains the `urqt_spark` package only (jobs/run_filter.py is
+the submitted script, not a dependency).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out: str | None = None) -> str:
+    out = out or os.path.join(REPO, "dist", "quality_filter.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pkg = os.path.join(REPO, "urqt_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, REPO))
+    return out
+
+
+if __name__ == "__main__":
+    path = build(sys.argv[1] if len(sys.argv) > 1 else None)
+    print(path)

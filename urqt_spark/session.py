@@ -47,7 +47,15 @@ def get_spark(
         # batch so executor memory stays bounded (the reference caps
         # its in-flight buffer the same way, UrQt.cpp:74)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # SMALL heap on purpose: this microVM pays ~0.3-1.4 ms of kernel
+        # time per first-touch page fault (measured 3-22 MB/s; re-touch
+        # is 1000x faster — lazily-backed snapshot memory).  A big heap
+        # lets G1 run its young gen through GIGABYTES of never-touched
+        # regions (observed 15 GB between young GCs) and the job spends
+        # minutes faulting; a small heap recycles warm pages.  Measured
+        # at 200k files/local[8]: first pass 100 s @ 6g vs 317 s @ 24g,
+        # steady 78 s vs 90 s.  On real hardware this knob is neutral.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "6g"))
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
