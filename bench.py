@@ -103,7 +103,7 @@ def main() -> None:
     cpus = min(cpus_req, int(os.environ.get("SPARK_GRAFT_MAX_SLOTS", "8")))
 
     spark = get_spark(
-        "urqt-bench", master=f"local[{cpus}]", shuffle_partitions=max(3 * cpus, 16)
+        "urqt-bench", master=f"local[{cpus}]", shuffle_partitions=max(8 * cpus, 16)
     )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -128,7 +128,10 @@ def main() -> None:
     # -- flagship: full pipeline (trim kernel + heuristics + langid +
     #    perplexity + scrub) over the synthetic code corpus
     corpus = spark.read.parquet(corpus_path)
-    cfg = FilterConfig(shuffle_partitions=max(3 * cpus, 16))
+    # 8 partitions per slot: the UDF stage is the job, and a fine
+    # partition grain cuts the last-wave straggler tail (measured 29s ->
+    # 24s at local[8], 200k files)
+    cfg = FilterConfig(shuffle_partitions=max(8 * cpus, 16))
 
     def flagship():
         return quality_filter_plan(corpus, cfg).select(*OUT_COLS)
@@ -155,7 +158,7 @@ def main() -> None:
         langid_enabled=False,
         perplexity_enabled=False,
         scrub_enabled=False,
-        shuffle_partitions=max(3 * cpus, 16),
+        shuffle_partitions=max(8 * cpus, 16),
     )
     timed(
         "quality_filter_trim_only",

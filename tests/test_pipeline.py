@@ -161,7 +161,10 @@ def test_keep_empty_waives_empty_rule(spark):
     )
     df = spark.createDataFrame(pdf)
     base_cfg = FilterConfig(
-        langid_enabled=False, perplexity_enabled=False, heuristics_enabled=False
+        langid_enabled=False,
+        perplexity_enabled=False,
+        heuristics_enabled=False,
+        emit_kept_text=True,
     )
     base = (
         quality_filter_plan(df, base_cfg, repartition=False)
@@ -174,6 +177,7 @@ def test_keep_empty_waives_empty_rule(spark):
         perplexity_enabled=False,
         heuristics_enabled=False,
         keep_empty=True,
+        emit_kept_text=True,
     )
     kept = (
         quality_filter_plan(df, kept_cfg, repartition=False)

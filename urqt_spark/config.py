@@ -41,6 +41,9 @@ class FilterConfig:
     perplexity_enabled: bool = True
     heuristics_enabled: bool = True
     scrub_enabled: bool = True
+    # fused path only: also return the intermediate kept_text column
+    # (an extra Arrow string column per row — off for production sinks)
+    emit_kept_text: bool = False
 
     # heuristic-rule thresholds (quality_filter stage; Gopher/C4-style
     # rules re-targeted at source code)

@@ -83,11 +83,14 @@ def _trigram_hashes(text: str) -> np.ndarray:
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if b.size < 3:
         return np.zeros(0, dtype=np.int64)
-    P, B = np.uint64(0x100000001B3), np.uint64(0xCBF29CE484222325)
-    h = np.full(b.size - 2, B, dtype=np.uint64)
+    # 32-bit FNV-1a: selects one of 4096 buckets; 32-bit vector
+    # multiplies run ~2x the 64-bit ones at half the traffic
+    P, B = np.uint32(0x01000193), np.uint32(0x811C9DC5)
+    h = np.full(b.size - 2, B, dtype=np.uint32)
     for k in range(3):  # 3 fixed rounds, each vectorized over all positions
-        h = (h ^ b[k : b.size - 2 + k].astype(np.uint64)) * P
-    return (h % np.uint64(N_BUCKETS)).astype(np.int64)
+        h = (h ^ b[k : b.size - 2 + k].astype(np.uint32)) * P
+    # N_BUCKETS is a power of two: & == %, minus the integer division
+    return (h & np.uint32(N_BUCKETS - 1)).astype(np.int64)
 
 
 def text_features(text: str) -> np.ndarray:
@@ -119,11 +122,12 @@ def _flat_trigram_rows(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     flat = np.frombuffer(b"\x00\x00".join(bs), dtype=np.uint8)
     n_pos = flat.size - 2
-    P, B = np.uint64(0x100000001B3), np.uint64(0xCBF29CE484222325)
-    h = np.full(n_pos, B, dtype=np.uint64)
+    P, B = np.uint32(0x01000193), np.uint32(0x811C9DC5)
+    h = np.full(n_pos, B, dtype=np.uint32)
     for k in range(3):
-        h = (h ^ flat[k : n_pos + k].astype(np.uint64)) * P
-    buckets = (h % np.uint64(N_BUCKETS)).astype(np.int64)
+        h = (h ^ flat[k : n_pos + k].astype(np.uint32)) * P
+    # power-of-two bucket count: & == %, minus the integer division
+    buckets = (h & np.uint32(N_BUCKETS - 1)).astype(np.int64)
     # position → row: row r owns [starts[r], starts[r+1]) in position
     # space (the last row is 2 shorter — no trailing separator)
     starts = np.concatenate(([0], np.cumsum(lens + 2)))[:-1]

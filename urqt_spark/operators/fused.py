@@ -1,0 +1,248 @@
+"""Fused single-crossing filter stage: the whole per-row decision chain
+(trim DP -> heuristics -> langid -> perplexity -> scrub -> sha) in ONE
+Arrow round-trip.
+
+Why fusion, measured (200k-file corpus, local[8], this host):
+
+* The unfused plan moves text across the JVM/Python Arrow channel
+  three times (content -> trim; kept_text -> langid; kept_text ->
+  perplexity) and scans it JVM-side four more times (contains-guards
+  x10 needles, translate for alnum, regexp chain, sha2).  jstack
+  sampling showed `UTF8String.contains` — the scrub GUARDS, not the
+  regexes — as the single hottest JVM frame, with ~625 s of JVM CPU
+  per 200k files on top of the Python kernel work.
+* Fused: content crosses once, every byte pass happens on the ONE
+  latin-1 numpy view the trim kernel already builds (BatchView), and
+  only decision scalars + the scrubbed survivor text return.  The
+  regex guards become numpy needle masks (~memory-bandwidth over the
+  4-5 MB batch, L2-resident), so java.util.regex work drops to zero.
+
+This is the "UDFs are the slow path" rule applied honestly: the slow
+path is the NUMBER OF BOUNDARY CROSSINGS AND TEXT PASSES, not the
+Python interpreter — all heavy loops here are numpy/C.  Relational
+work (scan, pruning, the salted repartition, decision predicates on
+returned scalars, the sink) stays JVM-side.
+
+Reference lifecycle being replaced: the per-read worker body
+``Read::run`` -> ``Segmentation`` -> ``writeRead`` filter chain
+(``/root/reference/Read.cpp:440-465``, ``Segmentation.cpp:65-284``,
+``Read.cpp:573-611``) — one pass per record, all decisions made while
+the record is hot, which is exactly what this fusion restores on top
+of Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from urqt_spark.config import FilterConfig
+from urqt_spark.functions.scrub import batch_scrub_hints, scrub_text
+from urqt_spark.kernel import phred_lut, trim_batch
+from urqt_spark.operators.trim import BatchView
+
+LANGID_CAP = 2000  # chars; same truncated-analysis caps as the
+PPL_CAP = 4000     # standalone with_langid / with_perplexity stages
+
+# 0-9 A-Z a-z membership over latin-1 bytes (mirrors the JVM
+# translate-based alnum counter in plans.pipeline.with_heuristics:
+# alnum is ASCII-only, and in the latin-1 view 1 char == 1 byte)
+_ALNUM_TABLE = np.zeros(256, dtype=bool)
+for _c in range(48, 58):
+    _ALNUM_TABLE[_c] = True
+for _c in range(65, 91):
+    _ALNUM_TABLE[_c] = True
+for _c in range(97, 123):
+    _ALNUM_TABLE[_c] = True
+
+
+def fused_schema(cfg: FilterConfig) -> StructType:
+    fields = [
+        StructField("cut_begin", IntegerType(), False),
+        StructField("cut_end", IntegerType(), False),
+        StructField("n_lines", IntegerType(), False),
+        StructField("keep", BooleanType(), False),
+        StructField("longest_line", IntegerType(), False),
+        StructField("kept_lines", IntegerType(), False),
+        StructField("kept_chars", IntegerType(), False),
+        StructField("mean_line_len", DoubleType(), False),
+        StructField("alnum_ratio", DoubleType(), False),
+        StructField("qc_pass", BooleanType(), False),
+        StructField("lang_pred", StringType(), False),
+        StructField("lang_conf", DoubleType(), False),
+        StructField("ppl", DoubleType(), False),
+        StructField("content_scrubbed", StringType(), False),
+        StructField("scrubbed_sha256", StringType(), False),
+    ]
+    if cfg.emit_kept_text:
+        fields.insert(4, StructField("kept_text", StringType(), True))
+    return StructType(fields)
+
+
+def filter_batch(contents: pd.Series, cfg: FilterConfig, lut: np.ndarray) -> pd.DataFrame:
+    """The whole decision chain over one Arrow batch.  Every column is
+    value-identical to the unfused stage chain (pinned by
+    tests/test_fused.py's fused-vs-unfused parity check)."""
+    v = BatchView(contents)
+    R = v.counts.size
+    if R == 0:
+        cols = {f.name: [] for f in fused_schema(cfg).fields}
+        return pd.DataFrame(cols)
+
+    counts = v.counts
+    cb, ce, keep_trim = trim_batch(
+        v.q_flat,
+        counts,
+        threshold=cfg.threshold,
+        pos=cfg.pos,
+        max_head=cfg.max_head,
+        max_tail=cfg.max_tail,
+        min_qc_phred=cfg.min_qc_phred,
+        min_qc_length=cfg.min_qc_length,
+        min_size=cfg.min_size,
+        keep_empty=cfg.keep_empty,
+        lut=lut,
+    )
+
+    # ---- kept-span geometry (global char offsets into the batch view)
+    first_line = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    klo = first_line + np.maximum(cb, 0)
+    khi = first_line + np.minimum(np.maximum(ce, 0), counts - 1)
+    glo = v.starts_g[klo]
+    ghi = v.ends_g[khi]
+    nonempty = keep_trim & (ce >= cb)
+
+    # ---- kept text: one slice per kept row, local offsets
+    lo_loc = glo - v.row_start[np.arange(R)]
+    hi_loc = ghi - v.row_start[np.arange(R)]
+    texts = v.texts
+    kept = [
+        t[a:b] if ne else ""
+        for t, a, b, ne in zip(texts, lo_loc, hi_loc, nonempty)
+    ]
+
+    # ---- heuristics, all from the existing byte view (no re-scan of
+    # Python strings).  Formula-for-formula the JVM with_heuristics.
+    kept_chars = np.where(nonempty, ghi - glo, 0).astype(np.int64)
+    kept_lines = np.where(nonempty, ce - cb + 1, 1).astype(np.int64)
+    ac = np.concatenate(([0], np.cumsum(_ALNUM_TABLE[v.cp], dtype=np.int64)))
+    alnum = np.where(nonempty, ac[ghi] - ac[glo], 0)
+    mean_line_len = kept_chars / kept_lines
+    alnum_ratio = np.where(kept_chars > 0, alnum / np.maximum(kept_chars, 1), 0.0)
+
+    line_len = v.ends_g - v.starts_g
+    longest = np.zeros(R, dtype=np.int32)
+    if nonempty.any():
+        s = klo[nonempty]
+        e_ = khi[nonempty] + 1
+        segs = np.empty(2 * s.size, dtype=np.int64)
+        segs[0::2], segs[1::2] = s, e_
+        padded = np.concatenate((line_len, [0]))
+        longest[nonempty] = np.maximum.reduceat(padded, segs)[0::2].astype(np.int32)
+
+    if cfg.heuristics_enabled:
+        qc = (
+            (kept_lines >= cfg.min_lines)
+            & (mean_line_len <= cfg.max_mean_line_len)
+            & (alnum_ratio >= cfg.min_alnum_ratio)
+            & (longest <= cfg.max_longest_line)
+        )
+        if cfg.keep_empty:
+            qc = qc | (ce <= cb)
+        keep = keep_trim & qc
+    else:
+        qc = np.ones(R, dtype=bool)
+        keep = keep_trim
+
+    # ---- models, gated on survivors ("spend Python only on what will
+    # be written"); the capped slices are tiny relative to content
+    if cfg.langid_enabled:
+        from urqt_spark.functions.langid import LANGS, predict_batch
+
+        capped = [k[:LANGID_CAP] if f else "" for k, f in zip(kept, keep)]
+        idx, conf = predict_batch(capped)
+        lang_pred = ["" if not c else LANGS[i] for i, c in zip(idx, capped)]
+        lang_conf = conf
+    else:
+        lang_pred = [""] * R
+        lang_conf = np.zeros(R, dtype=np.float64)
+    if cfg.perplexity_enabled:
+        from urqt_spark.functions.perplexity import perplexity_batch
+
+        ppl = perplexity_batch(
+            pd.Series([k[:PPL_CAP] if f else "" for k, f in zip(kept, keep)])
+        )
+    else:
+        ppl = np.zeros(R, dtype=np.float64)
+
+    # ---- scrub: numpy needle/trigram hints over the SAME byte view
+    # (superset of any real match — hints run on full content, scrub on
+    # the kept subset), then Python-re only on hinted survivors.
+    if cfg.scrub_enabled:
+        scrubbed = list(kept)
+        hints = batch_scrub_hints(
+            v.cp, v.row_start, v.row_start + v.row_len, buf=v.buf
+        )
+        for r in np.flatnonzero(hints & keep & nonempty):
+            scrubbed[r] = scrub_text(scrubbed[r])
+        sha = [""] * R
+        for r in np.flatnonzero(keep):
+            sha[r] = hashlib.sha256(scrubbed[r].encode()).hexdigest()
+        for r in np.flatnonzero(~keep):
+            scrubbed[r] = ""
+    else:
+        scrubbed = [""] * R
+        sha = [""] * R
+
+    out = {
+        "cut_begin": cb.astype(np.int32),
+        "cut_end": ce.astype(np.int32),
+        "n_lines": counts.astype(np.int32),
+        "keep": keep,
+        "longest_line": longest,
+        "kept_lines": kept_lines.astype(np.int32),
+        "kept_chars": kept_chars.astype(np.int32),
+        "mean_line_len": mean_line_len,
+        "alnum_ratio": alnum_ratio,
+        "qc_pass": qc,
+        "lang_pred": lang_pred,
+        "lang_conf": lang_conf,
+        "ppl": ppl,
+        "content_scrubbed": scrubbed,
+        "scrubbed_sha256": sha,
+    }
+    if cfg.emit_kept_text:
+        out["kept_text"] = kept
+    return pd.DataFrame(out)[[f.name for f in fused_schema(cfg).fields]]
+
+
+def make_filter_udf(cfg: FilterConfig):
+    """Scalar pandas UDF ``content -> struct(everything)``.  The LUT and
+    config close over the function (auto-broadcast with the task)."""
+    lut = phred_lut(cfg.threshold)
+
+    @F.pandas_udf(fused_schema(cfg))
+    def filter_udf(contents: pd.Series) -> pd.DataFrame:
+        return filter_batch(contents, cfg, lut)
+
+    return filter_udf
+
+
+def with_filter_fused(df, cfg: FilterConfig, content_col: str = "content"):
+    """``df -> df + all decision columns`` in one Arrow crossing.  The
+    struct expands through ``inline`` so the UDF runs exactly once per
+    row (see operators/trim.with_trim for the projection-collapse
+    rationale)."""
+    udf = make_filter_udf(cfg)
+    return df.select("*", F.inline(F.array(udf(F.col(content_col)))))

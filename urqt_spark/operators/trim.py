@@ -59,62 +59,90 @@ assert not _GOOD_TABLE[ord("?")]  # the latin-1 replacement char is bad-class
 _ = GOOD_CHARS_PATTERN  # the table above must mirror this pattern (tested)
 
 
+class BatchView:
+    """One latin-1 byte view of a whole Arrow batch (rows '\\n'-joined)
+    plus the line/row geometry every downstream numpy pass reuses —
+    per-line qualities, kept-span slicing, alnum counts, scrub hints.
+    Built ONCE per batch; chars > 255 replace to '?' (bad-class either
+    way, and 1 char == 1 byte keeps all offsets exact CHARACTER
+    offsets)."""
+
+    __slots__ = (
+        "texts", "buf", "cp", "starts_g", "ends_g", "counts",
+        "row_start", "row_len", "q_flat",
+    )
+
+    def __init__(self, contents: pd.Series):
+        self.texts = contents.fillna("").tolist()
+        R = len(self.texts)
+        if R == 0:
+            z = np.zeros(0, dtype=np.int64)
+            self.buf = b""
+            self.cp = np.zeros(0, dtype=np.uint8)
+            self.starts_g = z
+            self.ends_g = z.copy()
+            self.counts = z.copy()
+            self.row_start = z.copy()
+            self.row_len = z.copy()
+            self.q_flat = z.copy()
+            return
+        joined = "\n".join(self.texts)
+        # keep the raw bytes too: C-speed substring search (bytes.find)
+        # is how the fused stage scans for scrub-hint needles
+        self.buf = joined.encode("latin-1", "replace")
+        cp = np.frombuffer(self.buf, dtype=np.uint8)
+        nl = np.flatnonzero(cp == 10)
+        # line k spans [starts_g[k], ends_g[k]) in the joined array
+        starts_g = np.concatenate(([0], nl + 1))
+        ends_g = np.concatenate((nl, [cp.size]))
+
+        # rows have len(texts[r]) chars; newlines INSIDE a row delimit
+        # its lines, the separator newline delimits rows
+        row_len = np.fromiter((len(t) for t in self.texts), dtype=np.int64, count=R)
+        row_start = np.concatenate(([0], np.cumsum(row_len + 1)))[:-1]
+        row_nl = np.searchsorted(nl, row_start + row_len) - np.searchsorted(
+            nl, row_start
+        )
+        counts = row_nl + 1
+        assert int(counts.sum()) == starts_g.size
+
+        L = (ends_g - starts_g).astype(np.float64)
+        good = _GOOD_TABLE[cp]
+        # per-line good counts via int32 prefix sums (values bounded by
+        # the batch char count, far under 2^31)
+        cg = np.concatenate(([0], np.cumsum(good, dtype=np.int32)))
+        g = (cg[ends_g] - cg[starts_g]).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.where(L > 0, g / np.maximum(L, 1.0), 0.0)
+            lp = np.where(L <= MAX_LINE_LEN, 1.0, MAX_LINE_LEN / np.maximum(L, 1.0))
+            q = np.floor(44.0 * ratio * lp + 0.5)
+        self.q_flat = np.clip(q, 1, 44).astype(np.int64)
+        self.cp = cp
+        self.starts_g = starts_g
+        self.ends_g = ends_g
+        self.counts = counts
+        self.row_start = row_start
+        self.row_len = row_len
+
+
 def batch_line_qualities(
     contents: pd.Series,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list]:
     """Per-line qualities for a batch with ZERO per-line Python.
 
-    Each content string is viewed once as a 1-byte latin-1 array
-    (chars > 255 replace to '?' — bad-class either way, and 1 char is
-    always 1 byte so line lengths stay exact CHARACTER counts); newline
-    positions give line boundaries; good-char counts per line come from
-    one table lookup + prefix-sum differences over the whole batch.
-
     Returns ``(q_flat, counts, line_starts, line_ends, texts)`` where
     ``line_starts``/``line_ends`` are flat per-line CHARACTER offsets
     into each row's content (for slicing kept text without splitting).
     """
-    texts = contents.fillna("").tolist()
-    R = len(texts)
+    v = BatchView(contents)
+    R = v.counts.size
     if R == 0:
         z = np.zeros(0, dtype=np.int64)
-        return z, z.copy(), z.copy(), z.copy(), texts
-
-    # one byte array for the whole batch, rows separated by '\n'
-    joined = "\n".join(texts)
-    cp = np.frombuffer(joined.encode("latin-1", "replace"), dtype=np.uint8)
-    nl = np.flatnonzero(cp == 10)
-    # line k spans [starts_g[k], ends_g[k]) in the joined array
-    starts_g = np.concatenate(([0], nl + 1))
-    ends_g = np.concatenate((nl, [cp.size]))
-    n_lines_total = starts_g.size
-
-    # rows have len(texts[r]) chars; newlines INSIDE a row delimit its
-    # lines, the separator newline delimits rows — per-row line counts:
-    row_len = np.fromiter((len(t) for t in texts), dtype=np.int64, count=R)
-    row_start = np.concatenate(([0], np.cumsum(row_len + 1)))[:-1]
-    # counts[r] = (# newlines within row r) + 1
-    row_nl = np.searchsorted(nl, row_start + row_len) - np.searchsorted(nl, row_start)
-    counts = row_nl + 1
-    assert int(counts.sum()) == n_lines_total
-
-    L = (ends_g - starts_g).astype(np.float64)
-    good = _GOOD_TABLE[cp]
-    # per-line good counts via int32 prefix sums (values are bounded by
-    # the batch char count, far under 2^31)
-    cg = np.concatenate(([0], np.cumsum(good, dtype=np.int32)))
-    g = (cg[ends_g] - cg[starts_g]).astype(np.float64)
-
-    with np.errstate(invalid="ignore", divide="ignore"):
-        ratio = np.where(L > 0, g / np.maximum(L, 1.0), 0.0)
-        lp = np.where(L <= MAX_LINE_LEN, 1.0, MAX_LINE_LEN / np.maximum(L, 1.0))
-        q = np.floor(44.0 * ratio * lp + 0.5)
-    q = np.clip(q, 1, 44).astype(np.int64)
-
+        return z, z.copy(), z.copy(), z.copy(), v.texts
     # per-line offsets local to each row's own string
-    row_of_line = np.repeat(np.arange(R, dtype=np.int64), counts)
-    base = row_start[row_of_line]
-    return q, counts, starts_g - base, ends_g - base, texts
+    row_of_line = np.repeat(np.arange(R, dtype=np.int64), v.counts)
+    base = v.row_start[row_of_line]
+    return v.q_flat, v.counts, v.starts_g - base, v.ends_g - base, v.texts
 
 
 def make_trim_udf(cfg: FilterConfig):
