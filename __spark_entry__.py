@@ -370,6 +370,67 @@ def q_quality_filter_pipeline(spark, sf_dir):
     )
 
 
+def q_streaming_filter(spark, sf_dir):
+    """Structured Streaming variant (O18 sink + O20 scheduling under
+    the oracle gate): the SAME quality_filter_plan bound to a file
+    readStream, availableNow trigger, exactly-once parquet sink via the
+    file-sink commit log (urqt_spark/streaming/filter_stream.py; the
+    reference's ordered single-writer queue, mThreadDone.hpp).  The
+    oracle is the independent naive-kernel label table — so this proves
+    stream ≡ batch ≡ naive end-to-end on survivors + scrubbed sha."""
+    import shutil
+    import tempfile
+
+    from urqt_spark.config import FilterConfig
+    from urqt_spark.sources.corpus import generate_corpus
+    from urqt_spark.streaming.filter_stream import (
+        start_filter_sink,
+        stream_quality_filter,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_stream_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    corpus = generate_corpus(1000, seed=42, compute_labels=False)
+    spark.createDataFrame(
+        corpus[["repo", "path", "commit", "lang", "content"]]
+    ).coalesce(4).write.mode("overwrite").parquet(in_dir)
+
+    filtered = stream_quality_filter(spark, in_dir, cfg=FilterConfig())
+    q = start_filter_sink(filtered, out_dir, ckpt, available_now=True)
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).select(
+        "repo", "path", "lang", "scrubbed_sha256"
+    )
+    # materialize before the temp tree goes away
+    result = spark.createDataFrame(
+        out.toPandas(),
+        schema="repo string, path string, lang string, scrubbed_sha256 string",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary columns under the oracle gate: documents.text
+    re-encoded as opaque binary payloads, decoded by the deterministic
+    fake decoder through the REAL mapInPandas plumbing
+    (urqt_spark/operators/multimodal.py — payload never crosses a
+    shuffle, features come back in narrow typed columns).  The oracle
+    recomputes the fake decode (sha256-derived features) in pure SQL."""
+    from urqt_spark.operators.multimodal import image_features
+
+    payload = F.encode(F.col("text"), "UTF-8")
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+    return image_features(media, fake_decode=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship smoke: full quality-filter pipeline stats joined with a
     trim-kernel run over the sf0.001 documents table."""
@@ -400,7 +461,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_sessions": q_events_sessions,
         "quality_filter_pipeline": q_quality_filter_pipeline,
+        "streaming_filter": q_streaming_filter,
+        "multimodal_features": q_multimodal_features,
     }
+
+
+def _HEXBYTE(pos: int) -> str:
+    """DuckDB expr: integer value of the hex-digit pair at 1-based
+    ``pos`` in the column ``hash`` (byte (pos-1)//2 of the digest)."""
+    hexval = "strpos('0123456789abcdef', substr(hash, {p}, 1)) - 1"
+    return f"({hexval.format(p=pos)}) * 16 + ({hexval.format(p=pos + 1)})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -601,4 +671,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM m GROUP BY user_id""",
+        # streaming sink ≡ the independent naive-kernel survivor labels
+        "streaming_filter": """
+            SELECT repo, path, lang,
+                   expected_scrubbed_sha256 AS scrubbed_sha256
+            FROM read_parquet('/root/repo/fixtures/flagship_labels.parquet')
+            WHERE expected_keep""",
+        # fake image decode: features are pure functions of sha256(payload)
+        # (multimodal.py decode_image) — recomputed here from hex digits
+        "multimodal_features": f"""
+            WITH h AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     'image' AS kind,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     sha256(text) AS hash
+              FROM documents
+            )
+            SELECT media_id, kind, n_bytes, hash AS sha256,
+                   CAST(16 + ({_HEXBYTE(1)}) % 64 AS INT) AS width,
+                   CAST(16 + ({_HEXBYTE(3)}) % 64 AS INT) AS height,
+                   ROUND(({_HEXBYTE(5)}) / 255.0, 4) AS mean_luma
+            FROM h""",
     }

@@ -107,9 +107,25 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    t_start = time.time()
+    # hard wall budget: the driver kills a long bench with rc=124 and
+    # records NOTHING (round-1 failure mode).  Shed remaining work and
+    # emit the JSON line instead of being killed mid-query.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+
+    def over_budget() -> bool:
+        return time.time() - t_start > budget
 
     def timed(name, fn):
-        print(f"[bench] start {name}", file=sys.stderr, flush=True)
+        if over_budget():
+            errors[name] = "skipped: wall budget exhausted"
+            print(f"[bench] skip {name} (budget)", file=sys.stderr, flush=True)
+            return
+        print(
+            f"[bench] start {name} (t+{time.time() - t_start:.1f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
         t0 = time.time()
         try:
             fn()
@@ -136,13 +152,23 @@ def main() -> None:
     def flagship():
         return quality_filter_plan(corpus, cfg).select(*OUT_COLS)
 
-    # warmup: JVM JIT + python-worker spawn/imports, on a sample that
-    # keeps all input splits (limit() would coalesce to one partition)
+    # warmup: JVM JIT + python-worker spawn/imports.  Sample the INPUT
+    # (pushed into the scan) — sampling the output would run the full
+    # pipeline over every row as the cold pass, the most expensive run
+    # of all (round-1 bench burned ~5 min here).  An input sample keeps
+    # all input splits (limit() would coalesce to one partition) and
+    # still warms every codepath: scan, shuffle, fused UDF, sink.
     print("[bench] warmup", file=sys.stderr, flush=True)
+    t0 = time.time()
     try:
-        force(flagship().sample(0.1, seed=1), "warm")
+        force(
+            quality_filter_plan(corpus.sample(0.05, seed=1), cfg).select(*OUT_COLS),
+            "warm",
+        )
     except Exception as exc:  # noqa: BLE001
         errors["warmup"] = f"{type(exc).__name__}: {exc}"[:300]
+    timings["warmup"] = round(time.time() - t0, 3)
+    print(f"[bench] warmup: {timings['warmup']}s", file=sys.stderr, flush=True)
     # three timed passes; min = headline (host-noise robust)
     samples = []
     for i in range(3):
@@ -183,7 +209,7 @@ def main() -> None:
         timed(name, lambda n=name: qs[n](spark, SF_DIR)._jdf.count())
 
     shutil.rmtree(sink_root, ignore_errors=True)
-    total = round(sum(timings.values()), 3)
+    total = round(time.time() - t_start, 3)
     files_per_sec = (
         round(n_rows / best, 1) if best else 0.0
     )
