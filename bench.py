@@ -227,6 +227,15 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # attach the most recent two-parallelism scaling measurement
+    # (scripts/bench_scaling.py — the BASELINE.json ≥0.8 efficiency
+    # protocol) so the driver's BENCH_r{N}.json carries the evidence
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            out["scaling"] = json.load(fh)
     print(json.dumps(out))
     spark.stop()
 

@@ -63,7 +63,7 @@ quality_filter_plan(corpus.sample(0.1, seed=1), cfg).select(*OUT_COLS) \
     .write.mode("overwrite").parquet(f"{{sink}}/w1")
 warm = time.time() - t0
 secs = []
-for i in range(2):
+for i in range(3):
     t0 = time.time()
     run(f"full{{i}}")
     secs.append(round(time.time() - t0, 2))
@@ -76,7 +76,11 @@ spark.stop()
 """
 
 N_LO, N_HI = 2, 8
-REPS = 3
+# 3 timed passes per fresh JVM: the microVM's lazily-backed memory
+# makes pass 1 pay first-touch page faults and pass 2 straddle the
+# ramp (measured 88/47/25/24 s at local[8]) — pass 3 is steady state,
+# and min-of-3 per JVM × interleaved reps is the noise instrument.
+REPS = int(os.environ.get("SCALING_REPS", "4"))
 
 
 def run_level(cpus: int, corpus_path: str) -> dict:
@@ -119,6 +123,10 @@ def main() -> None:
         "all_hi": [r["sec"] for r in hi_runs],
     }
     print(json.dumps(summary))
+    # persisted so bench.py can embed the scaling evidence in the
+    # driver-facing JSON line (BENCH_r{N}.json)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
 
     md = f"""# BENCH/BASELINE — measured numbers
 

@@ -1,0 +1,54 @@
+"""Driver-contract guards for __spark_entry__.py (no Spark needed).
+
+The driver compares every queries() entry against its oracle_sql() in
+DuckDB; a typo'd SQL string or a key mismatch would only surface in the
+per-round gate.  These tests catch both locally: key-set consistency,
+and every oracle statement actually executing in DuckDB over the
+sf0.001 tables with at least one column.
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _con():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def test_oracle_keys_subset_of_queries():
+    qk, ok = set(E.queries()), set(E.oracle_sql())
+    assert ok <= qk, f"oracles without a query: {sorted(ok - qk)}"
+
+
+def test_every_query_has_oracle_or_is_known_exception():
+    # keep this list EMPTY: every operator claimed done carries an
+    # oracle (the round-1 verdict dinged 4 no_oracle rows; they are
+    # closed and must stay closed)
+    allowed_no_oracle: set[str] = set()
+    missing = set(E.queries()) - set(E.oracle_sql()) - allowed_no_oracle
+    assert not missing, f"queries missing an oracle: {sorted(missing)}"
+
+
+@pytest.mark.parametrize("name", sorted(E.oracle_sql()))
+def test_oracle_sql_executes_in_duckdb(name):
+    con = _con()
+    out = con.execute(E.oracle_sql()[name]).df()
+    assert out.shape[1] >= 1
