@@ -10,6 +10,7 @@ exactness rules).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -431,6 +432,75 @@ def q_multimodal_features(spark, sf_dir):
     return image_features(media, fake_decode=True)
 
 
+IVF_K, IVF_CENTROIDS, IVF_PROBE, IVF_ITERS = 10, 16, 4, 5
+
+
+def _ivf_parts(sf_dir: str):
+    """(centroids, query_vec) for the IVF query — deterministic k-means
+    trained driver-side on the embeddings table (vec_id order, fixed
+    iterations), query = the vec_id=0 embedding.  Shared by the Spark
+    query AND the oracle generator so both inline identical literals."""
+    import pandas as pd
+
+    from urqt_spark.operators.similarity import ivf_centroids
+
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = ivf_centroids(path, n_centroids=IVF_CENTROIDS, iters=IVF_ITERS)
+    row0 = (
+        pd.read_parquet(path, columns=["vec_id", "embedding"])
+        .sort_values("vec_id")
+        .iloc[0]
+    )
+    assert int(row0["vec_id"]) == 0
+    return cents, [float(x) for x in row0["embedding"]]
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN (the coarse-quantizer scale path next to the LSH one):
+    literal-centroid assignment JVM-side, probe pruning, exact cosine
+    on survivors only.  The oracle replicates assignment + probe +
+    scoring in pure SQL from the same centroid literals; sequential-
+    fold arithmetic keeps distances bit-identical engine-to-engine."""
+    from urqt_spark.operators.similarity import ivf_topk
+
+    cents, qv = _ivf_parts(sf_dir)
+    df = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return ivf_topk(df, cents, qv, k=IVF_K, n_probe=IVF_PROBE)
+
+
+def _ivf_oracle_sql() -> str:
+    sf_dir = os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
+    cents, qv = _ivf_parts(sf_dir)
+    from urqt_spark.operators.similarity import probe_clusters
+
+    probes = probe_clusters(cents, qv, IVF_PROBE)
+    cent_rows = ",\n              ".join(
+        f"({cid}, [{', '.join(repr(v) for v in c)}])" for cid, c in enumerate(cents)
+    )
+    qlit = f"[{', '.join(repr(v) for v in qv)}]"
+    return f"""
+        WITH cent(cid, c) AS (VALUES {cent_rows}),
+        e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id <> 0),
+        d AS (SELECT e.id, e.v, cent.cid,
+                     list_sum(list_transform(range(len(e.v)),
+                       i -> (e.v[i+1] - cent.c[i+1]) * (e.v[i+1] - cent.c[i+1]))) AS dist
+              FROM e CROSS JOIN cent),
+        a AS (SELECT id, v, cid,
+                     ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+              FROM d),
+        f AS (SELECT id, v FROM a WHERE rn = 1 AND cid IN ({', '.join(map(str, probes))})),
+        q AS (SELECT {qlit} AS qv),
+        s AS (SELECT f.id,
+                     ROUND(list_sum(list_transform(range(len(f.v)), i -> f.v[i+1] * q.qv[i+1]))
+                       / (sqrt(list_sum(list_transform(f.v, x -> x * x)))
+                          * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cosine
+              FROM f, q)
+        SELECT id AS vec_id, cosine FROM s
+        ORDER BY cosine DESC, vec_id ASC LIMIT {IVF_K}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship smoke: full quality-filter pipeline stats joined with a
     trim-kernel run over the sf0.001 documents table."""
@@ -463,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_pipeline": q_quality_filter_pipeline,
         "streaming_filter": q_streaming_filter,
         "multimodal_features": q_multimodal_features,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 
@@ -692,4 +763,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + ({_HEXBYTE(3)}) % 64 AS INT) AS height,
                    ROUND(({_HEXBYTE(5)}) / 255.0, 4) AS mean_luma
             FROM h""",
+        # IVF: same centroid/query/probe literals as the Spark plan
+        "ivf_ann_topk": _ivf_oracle_sql(),
     }

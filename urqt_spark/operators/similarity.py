@@ -170,3 +170,123 @@ def lsh_neardup_pairs(
         cand.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+_IVF_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def ivf_centroids(
+    parquet_path: str,
+    n_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer, trained driver-side.
+
+    Float64, a fixed number of Lloyd iterations, init = the
+    ``n_centroids`` lowest-id vectors — every run on the same table
+    yields bit-identical centroids, so the DuckDB oracle can inline
+    the SAME literals and replicate the assignment exactly.  At real
+    scale train on a bounded deterministic sample (e.g.
+    ``vec_id % P == 0``) instead of the full table; the centroids are
+    a tiny model artifact broadcast into the plan as literals
+    (same broadcast discipline as the langid/perplexity models).
+    """
+    key = (parquet_path, n_centroids, iters, vec_col, id_col)
+    if key in _IVF_CACHE:
+        return _IVF_CACHE[key]
+    pdf = (
+        pd.read_parquet(parquet_path, columns=[id_col, vec_col])
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    out = [[float(v) for v in row] for row in C]
+    _IVF_CACHE[key] = out
+    return out
+
+
+def _sq_dist(vec, centroid_lits):
+    """Sequential-fold squared L2 distance — the same left-to-right
+    double adds DuckDB's list_sum performs, so per-row distances are
+    bit-identical engine-to-engine and the argmin never flips."""
+    c = F.array(*[F.lit(float(v)) for v in centroid_lits])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def probe_clusters(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The n_probe centroid ids nearest the query (plain Python; the
+    result is inlined as literals into BOTH engines' queries)."""
+    d = []
+    for cid, c in enumerate(centroids):
+        acc = 0.0
+        for x, y in zip(query_vec, c):
+            acc += (x - y) * (x - y)
+        d.append((acc, cid))
+    d.sort()
+    return [cid for _, cid in d[:n_probe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: assign each vector to its nearest centroid
+    (JVM-side narrow projection over literal centroids), PRUNE to the
+    ``n_probe`` clusters nearest the query, exact cosine only on the
+    survivors, TakeOrdered for the winners.
+
+    Scale shape: no shuffle at all — assignment and scoring are one
+    narrow pass and only k rows travel to the driver.  On a real
+    deployment the table is written bucketed/partitioned BY the
+    cluster id, so the probe filter becomes partition pruning at the
+    scan and the cluster never reads (n_centroids - n_probe)/n_centroids
+    of the data.  Tie-break: strict ``<`` keeps the LOWEST centroid id,
+    matching the oracle's ``ORDER BY dist, cid`` row_number pick.
+    """
+    probes = probe_clusters(centroids, query_vec, n_probe)
+    vec = F.col(vec_col).cast("array<double>")
+    dists = [_sq_dist(vec, c) for c in centroids]
+    best, cid = dists[0], F.lit(0)
+    for j in range(1, len(centroids)):
+        cid = F.when(dists[j] < best, F.lit(j)).otherwise(cid)
+        best = F.least(dists[j], best)
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    assigned = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        vec.alias("v"),
+        cid.alias("cluster"),
+    )
+    return (
+        assigned.filter(F.col("cluster").isin(probes))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("v"), q), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
