@@ -202,6 +202,7 @@ def main() -> None:
         "minhash_lsh_pairs",
         "simhash_neardup",
         "ann_topk",
+        "ivf_ann_topk",
         "pricing_summary",
         "order_drop_propagation",
         "events_sessions",
