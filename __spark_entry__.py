@@ -432,6 +432,69 @@ def q_multimodal_features(spark, sf_dir):
     return image_features(media, fake_decode=True)
 
 
+SD_KEYS = 40  # stateful-dedup synthetic corpus: distinct contents
+
+
+def q_stateful_dedup(spark, sf_dir):
+    """Stateful streaming exact-dedup under the oracle gate
+    (applyInPandasWithState, urqt_spark/streaming/stateful_dedup.py):
+    duplicates of the same content arrive in DIFFERENT micro-batches
+    (maxFilesPerTrigger=1, one file per batch, ascending mtimes) and
+    keyed state admits exactly one keeper per distinct content — the
+    first batch containing the key.  The generator places key i's
+    first occurrence in file i%2, so the expected keeper set has a
+    closed form the oracle derives independently in pure SQL."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time
+
+    import pandas as pd
+
+    from urqt_spark.streaming.stateful_dedup import (
+        start_dedup_sink,
+        stream_exact_dedup,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_sdedup_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    _os.makedirs(in_dir)
+    now = time.time()
+    for fidx in range(3):
+        rows = [
+            {
+                "repo": f"r{fidx}",
+                "path": f"f{fidx}/file{i:03d}.py",
+                "commit": "c0",
+                "lang": "python",
+                "content": f"def f{i}():\n    return {i}\n",
+            }
+            for i in range(SD_KEYS)
+            if (i + fidx) % 2 == 0
+        ]
+        p = f"{in_dir}/part{fidx}.parquet"
+        pd.DataFrame(rows).to_parquet(p, index=False)
+        # file-source batch order: ascending mtime (ties by path) —
+        # pin both so batch order == fidx order deterministically
+        _os.utime(p, (now + 10 * fidx, now + 10 * fidx))
+
+    q = start_dedup_sink(
+        stream_exact_dedup(spark, in_dir, max_files_per_trigger=1),
+        out_dir,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).select("content_key", "repo", "path", "lang")
+    result = spark.createDataFrame(
+        out.toPandas(),
+        schema="content_key string, repo string, path string, lang string",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 IVF_K, IVF_CENTROIDS, IVF_PROBE, IVF_ITERS = 10, 16, 4, 5
 
 
@@ -534,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_filter": q_streaming_filter,
         "multimodal_features": q_multimodal_features,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "stateful_dedup": q_stateful_dedup,
     }
 
 
@@ -765,4 +829,15 @@ def oracle_sql() -> dict[str, str]:
             FROM h""",
         # IVF: same centroid/query/probe literals as the Spark plan
         "ivf_ann_topk": _ivf_oracle_sql(),
+        # stateful stream dedup: keeper = first batch containing the
+        # key; the generator puts key i's first occurrence in file i%2,
+        # so the expected output is derivable in closed form
+        "stateful_dedup": f"""
+            SELECT sha256('def f' || CAST(r AS VARCHAR) || '():' || chr(10)
+                          || '    return ' || CAST(r AS VARCHAR) || chr(10))
+                       AS content_key,
+                   'r' || CAST(r % 2 AS VARCHAR) AS repo,
+                   printf('f%d/file%03d.py', r % 2, r) AS path,
+                   'python' AS lang
+            FROM range({SD_KEYS}) t(r)""",
     }

@@ -33,3 +33,63 @@ def test_stream_matches_batch(spark, corpus_small, tmp_path_factory):
     q2.awaitTermination(300)
     again = spark.read.parquet(out_dir)
     assert again.count() == len(got)
+
+
+def test_stateful_stream_dedup(spark, tmp_path_factory):
+    """applyInPandasWithState exact-dedup: duplicates arriving in
+    DIFFERENT micro-batches are dropped by keyed state; one keeper per
+    distinct content; agrees with the batch exact_dedup operator."""
+    import pandas as pd
+
+    from urqt_spark.streaming.stateful_dedup import (
+        start_dedup_sink,
+        stream_exact_dedup,
+    )
+
+    base = tmp_path_factory.mktemp("sdedup")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+
+    # 3 input files; contents repeat across files (cross-batch dups)
+    contents = [f"def f{i}():\n    return {i}\n" for i in range(6)]
+    rows = []
+    for fidx in range(3):
+        for i in range(6):
+            if (i + fidx) % 2 == 0:  # interleave dups across files
+                rows.append(
+                    {
+                        "repo": f"r{fidx}",
+                        "path": f"f{fidx}/file{i}.py",
+                        "commit": "c0",
+                        "lang": "python",
+                        "content": contents[i],
+                    }
+                )
+    pdf = pd.DataFrame(rows)
+    import os
+
+    os.makedirs(in_dir)
+    for fidx in range(3):
+        pdf[pdf.repo == f"r{fidx}"].to_parquet(
+            f"{in_dir}/part{fidx}.parquet", index=False
+        )
+
+    deduped = stream_exact_dedup(spark, in_dir, max_files_per_trigger=1)
+    q = start_dedup_sink(deduped, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    # exactly one keeper per distinct content
+    assert len(got) == 6
+    assert got.content_key.nunique() == 6
+    assert sorted(got.content) == sorted(contents)
+    # stream and batch agree on identity (same fingerprint column)
+    from pyspark.sql import functions as F2
+
+    batch_keys = {
+        r.k
+        for r in spark.read.parquet(in_dir)
+        .select(F2.sha2("content", 256).alias("k"))
+        .distinct()
+        .collect()
+    }
+    assert set(got.content_key) == batch_keys

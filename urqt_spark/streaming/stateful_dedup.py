@@ -1,0 +1,110 @@
+"""Stateful streaming exact-dedup — ``applyInPandasWithState``.
+
+A training-data ingest stream must not emit the same file content
+twice even when duplicates arrive in different micro-batches, which a
+stateless projection cannot express: the "have I seen this content"
+predicate is keyed state that outlives a batch.  This operator keys
+the stream by a content fingerprint and keeps ONE row per distinct
+content — the first batch that contains a key wins; within a batch the
+deterministic keeper is the lowest ``(repo, path)``.
+
+Scale shape (100-TB rules):
+
+* state is one tiny row per DISTINCT content hash (a flag), not per
+  input row — the state store (HDFS/RocksDB-backed in production)
+  grows with corpus uniqueness, and the grouping shuffle carries the
+  64-hex key plus the narrow kept columns only;
+* the fingerprint is computed JVM-side (``sha2``) before the state
+  operator, so the Python worker only arbitrates keepers;
+* the same fingerprint column is what the batch ``exact_dedup``
+  operator groups on (`urqt_spark/operators/dedup.py`) — stream and
+  batch agree on identity by construction.
+
+Replaces the reference's single-writer "have I written index i"
+bookkeeping (``/root/reference/Read.cpp:168-299``) with keyed state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+KEPT_COLS = ["repo", "path", "commit", "lang", "content", "content_key"]
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+        StructField("content_key", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType([StructField("seen", IntegerType())])
+
+
+def _dedup_group(key, pdfs, state: GroupState):
+    if state.exists:
+        # key already admitted in an earlier batch: drain and drop
+        for _ in pdfs:
+            pass
+        return
+    best: pd.DataFrame | None = None
+    for pdf in pdfs:
+        cand = pdf.sort_values(["repo", "path"]).head(1)
+        best = (
+            cand
+            if best is None
+            else pd.concat([best, cand]).sort_values(["repo", "path"]).head(1)
+        )
+    state.update((1,))
+    if best is not None:
+        yield best[[c for c in KEPT_COLS]]
+
+
+def stream_exact_dedup(
+    spark,
+    in_dir: str,
+    schema: str = (
+        "repo string, path string, commit string, lang string, content string"
+    ),
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming DataFrame of first-seen rows per distinct content."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_dir)
+    )
+    keyed = src.withColumn("content_key", F.sha2(F.col("content"), 256))
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_dedup_sink(
+    deduped: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    w = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
