@@ -1,0 +1,96 @@
+"""Small-files compaction for streaming sink directories.
+
+The availableNow file sinks (filter_stream / stateful_dedup) commit one
+parquet file per task per micro-batch; a long-running ingest leaves
+thousands of KB-sized files that slow every later scan (footer reads +
+task-per-file scheduling).  This job rewrites a directory to files of a
+target size — the standard companion batch job to a streaming sink
+(the reference's analogue is the final rewrite pass of its tmp output,
+/root/reference/Read.cpp:196-299).
+
+Shape: ONE coalesce/repartition to ceil(total_bytes / target) files.
+``--by-lang`` keeps the ``partitionBy(lang)`` layout (the pruning axis)
+and sizes within each partition via a repartition on lang + a salt so
+one huge lang still splits across files.
+
+    spark-submit --py-files dist/quality_filter.zip jobs/compact.py \
+        --input /data/stream_sink --output /data/compacted \
+        --target-mb 128 [--by-lang]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="compact a parquet directory")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--by-lang", action="store_true")
+    return p.parse_args(argv)
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact(spark, in_dir: str, out_dir: str, target_mb: int, by_lang: bool) -> dict:
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(in_dir)
+    total = dir_bytes(in_dir)
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if by_lang:
+        # keep the pruning layout; salt so a dominant lang still splits
+        salt = F.pmod(F.xxhash64(*df.columns[:1]), F.lit(n_files)).alias("_salt")
+        (
+            df.withColumn("_salt", salt)
+            .repartition(n_files, "lang", "_salt")
+            .drop("_salt")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(out_dir)
+        )
+    else:
+        writer = (
+            df.coalesce(n_files)
+            if n_files <= df.rdd.getNumPartitions()
+            else df.repartition(n_files)
+        )
+        writer.write.mode("overwrite").parquet(out_dir)
+    return {
+        "input_bytes": total,
+        "target_files": n_files,
+        "rows": spark.read.parquet(out_dir).count(),
+    }
+
+
+def main(argv=None, spark=None) -> int:
+    args = parse_args(argv)
+    owns = spark is None
+    if owns:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("urqt-compact").getOrCreate()
+    stats = compact(spark, args.input, args.output, args.target_mb, args.by_lang)
+    print(json.dumps(stats))
+    if owns:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -70,3 +70,27 @@ def test_cli_langs_pruning(spark, tmp_path):
     )
     got = _read_out(out)
     assert set(got.lang.unique()) == {"python"}
+
+
+def test_compact_job(spark, tmp_path):
+    """Compaction rewrites a many-small-files sink dir into few files
+    with identical content."""
+    import glob
+
+    from jobs.compact import compact
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    rows = [(f"r{i % 7}", f"p{i}.py", "c0", "python", f"x = {i}\n") for i in range(400)]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    n_small = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_small >= 32
+
+    stats = compact(spark, src, dst, target_mb=128, by_lang=False)
+    n_big = len(glob.glob(f"{dst}/part-*.parquet"))
+    assert n_big < n_small and n_big >= 1
+    assert stats["rows"] == 400
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert a == b
