@@ -601,6 +601,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _simhash_fp_parquet() -> str:
+    """Path of the SimHash fingerprint side-table for ORACLE_SF.
+
+    At the driver's gate sf (0.01) this is the committed fixture
+    (`scripts/make_fixtures.py`).  For any other sf the table is
+    generated on the fly into a cache dir with the same
+    ``simhash_batch`` the Spark UDF calls — the oracle verifies the
+    banding + Hamming-join machinery at every scale, while the
+    fingerprint function itself is pinned by the committed fixture and
+    its pytest golden values."""
+    sf_dir = os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
+    if sf_dir.rstrip("/").endswith("sf0.01"):
+        return "/root/repo/fixtures/simhash_fp_sf0_01.parquet"
+    import pandas as pd
+
+    from urqt_spark.operators.dedup import simhash_batch
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/urqt_oracle_cache/simhash_fp_{tag}.parquet"
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        docs = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).sort_values("doc_id")
+        pd.DataFrame(
+            {"id": docs.doc_id.astype("int64").values, "fp": simhash_batch(list(docs.text))}
+        ).to_parquet(out, index=False)
+    return out
+
+
 def _HEXBYTE(pos: int) -> str:
     """DuckDB expr: integer value of the hex-digit pair at 1-based
     ``pos`` in the column ``hash`` (byte (pos-1)//2 of the digest)."""
@@ -705,13 +735,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
             GROUP BY a.id, b.id
             HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) >= 0.5""",
-        # The fingerprint fn is not SQL-expressible; the fixture pins
-        # simhash_batch's output on the sf0.01 documents table, and the
-        # oracle does the ALL-PAIRS exact Hamming join over it — the
-        # chunk-banding (pigeonhole-guaranteed recall) + verify
+        # The fingerprint fn is not SQL-expressible; a side table pins
+        # simhash_batch's output on the ORACLE_SF documents table, and
+        # the oracle does the ALL-PAIRS exact Hamming join over it —
+        # the chunk-banding (pigeonhole-guaranteed recall) + verify
         # machinery is what's genuinely being checked.
-        "simhash_neardup": """
-            WITH fp AS (SELECT id, fp FROM read_parquet('/root/repo/fixtures/simhash_fp_sf0_01.parquet'))
+        "simhash_neardup": f"""
+            WITH fp AS (SELECT id, fp FROM read_parquet('{_simhash_fp_parquet()}'))
             SELECT a.id AS id_a, b.id AS id_b,
                    CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
             FROM fp a JOIN fp b ON a.id < b.id
