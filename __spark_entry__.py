@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from urqt_spark.functions.scrub import scrub_spark_col, scrub_sql
+from urqt_spark.operators.grouped_stats import length_stats_oracle_sql
 from urqt_spark.plans.entry_queries import (
     WORD_Q_SQL,
     trim_classes_df,
@@ -432,6 +433,31 @@ def q_multimodal_features(spark, sf_dir):
     return image_features(media, fake_decode=True)
 
 
+def q_grouped_length_stats(spark, sf_dir):
+    """Grouped-map applyInPandas surface (per-group NumPy batch →
+    narrow typed rows): length-distribution skew diagnostics per lang,
+    with a pinned ceil-rank percentile rule both engines compute
+    identically (urqt_spark/operators/grouped_stats.py)."""
+    from urqt_spark.operators.grouped_stats import per_group_length_stats
+
+    return per_group_length_stats(_docs(spark, sf_dir), "lang", "n_chars")
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plan (operators/multimodal.py): the
+    explode pattern a video decoder would drive — (media_id, frame_idx)
+    rows for every ``every_n``-th frame, frame count derived from
+    payload size (stub: one frame per 64 bytes)."""
+    from urqt_spark.operators.multimodal import frame_sample_plan
+
+    payload = F.encode(F.col("text"), "UTF-8")
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+    return frame_sample_plan(media, every_n=2, frame_bytes=64)
+
+
 SD_KEYS = 40  # stateful-dedup synthetic corpus: distinct contents
 
 
@@ -598,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ivf_ann_topk": q_ivf_ann_topk,
         "stateful_dedup": q_stateful_dedup,
+        "grouped_length_stats": q_grouped_length_stats,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -870,4 +898,20 @@ def oracle_sql() -> dict[str, str]:
                    printf('f%d/file%03d.py', r % 2, r) AS path,
                    'python' AS lang
             FROM range({SD_KEYS}) t(r)""",
+        # grouped-map applyInPandas ≡ window-rank SQL (pinned ceil-rank
+        # percentile rule, no interpolation ambiguity)
+        "grouped_length_stats": length_stats_oracle_sql(
+            "documents", "lang", "n_chars"
+        ),
+        # frame-sampling explode ≡ generate_series
+        "frame_sample": """
+            WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                       FROM documents),
+            f AS (SELECT media_id,
+                         GREATEST(CAST(FLOOR(n_bytes / 64) AS BIGINT), 1) AS n_frames
+                  FROM m)
+            SELECT media_id,
+                   CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INT) AS frame_idx
+            FROM f""",
     }

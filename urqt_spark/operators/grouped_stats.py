@@ -1,0 +1,77 @@
+"""Grouped-map ``applyInPandas`` — per-group vectorized statistics.
+
+The SURVEY reserves grouped-map pandas UDFs for per-group aggregation
+views (everything row-wise rides scalar/iterator UDFs instead); this is
+that surface: one pandas batch per group key, NumPy inside, narrow
+typed rows out.  Used for the skew-diagnostic view the 100-TB plan
+needs before choosing salt counts: length distribution per group.
+
+Percentile definition is pinned to "value at 1-based index
+``ceil(q * n)`` of the ascending sort" — computable identically in
+NumPy and ANSI SQL (ORDER BY + row_number), so the DuckDB oracle
+matches exactly with no interpolation-mode ambiguity.
+
+Scale shape: ONE shuffle on the group key (Catalyst plans a full
+grouped exchange for applyInPandas); the payload entering the exchange
+is only (group_col, len_col) — project before grouping, never ship
+text/content into a diagnostic view.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+OUT_SCHEMA = (
+    "group_key string, n_rows long, total_len long, max_len long, "
+    "p50_len long, p90_len long"
+)
+
+
+def per_group_length_stats(
+    df: DataFrame, group_col: str, len_col: str
+) -> DataFrame:
+    """(group_key, n_rows, total_len, max_len, p50_len, p90_len) per
+    distinct ``group_col`` value."""
+    narrow = df.select(group_col, len_col)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = np.sort(pdf[len_col].to_numpy(dtype=np.int64))
+        n = lens.size
+
+        def pick(q: float) -> int:
+            return int(lens[max(math.ceil(q * n), 1) - 1])
+
+        return pd.DataFrame(
+            {
+                "group_key": [str(pdf[group_col].iloc[0])],
+                "n_rows": [n],
+                "total_len": [int(lens.sum())],
+                "max_len": [int(lens[-1])],
+                "p50_len": [pick(0.5)],
+                "p90_len": [pick(0.9)],
+            }
+        )
+
+    return narrow.groupBy(group_col).applyInPandas(stats, OUT_SCHEMA)
+
+
+def length_stats_oracle_sql(table: str, group_col: str, len_col: str) -> str:
+    """ANSI-SQL equivalent with the same pinned percentile rule."""
+    return f"""
+        WITH r AS (
+          SELECT CAST({group_col} AS VARCHAR) AS group_key,
+                 CAST({len_col} AS BIGINT) AS len,
+                 ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY {len_col}) AS rn,
+                 COUNT(*) OVER (PARTITION BY {group_col}) AS n
+          FROM {table})
+        SELECT group_key,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(SUM(len) AS BIGINT) AS total_len,
+               CAST(MAX(len) AS BIGINT) AS max_len,
+               CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1) THEN len END) AS BIGINT) AS p50_len,
+               CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.9 * n) AS BIGINT), 1) THEN len END) AS BIGINT) AS p90_len
+        FROM r GROUP BY group_key"""

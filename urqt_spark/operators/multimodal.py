@@ -82,12 +82,16 @@ def image_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     return df.mapInPandas(gen, IMAGE_FEATURES_SCHEMA)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 30, frame_bytes: int = 4096
+) -> DataFrame:
     """Video frame-sampling *plan*: emits (media_id, frame_idx) rows for
     frames a real decoder would extract — the explode pattern without
     the codec.  Frame count is derived from payload size (stub: one
-    frame per 4 KiB)."""
-    n_frames = F.greatest((F.col("n_bytes") / 4096).cast("int"), F.lit(1))
+    frame per ``frame_bytes``)."""
+    n_frames = F.greatest(
+        F.floor(F.col("n_bytes") / frame_bytes).cast("int"), F.lit(1)
+    )
     return df.select(
         "media_id",
         F.explode(
