@@ -93,3 +93,66 @@ def test_stateful_stream_dedup(spark, tmp_path_factory):
         .collect()
     }
     assert set(got.content_key) == batch_keys
+
+
+def test_stateful_dedup_restart_exactly_once(spark, tmp_path_factory):
+    """Restarting the dedup stream on the same checkpoint emits nothing
+    new — keyed state + the file-sink commit log survive the restart."""
+    import pandas as pd
+
+    from urqt_spark.streaming.stateful_dedup import (
+        start_dedup_sink,
+        stream_exact_dedup,
+    )
+
+    base = tmp_path_factory.mktemp("sdedup_rs")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    import os
+
+    os.makedirs(in_dir)
+    pd.DataFrame(
+        [
+            {
+                "repo": "r0",
+                "path": f"a{i}.py",
+                "commit": "c0",
+                "lang": "python",
+                "content": f"v = {i % 3}\n",  # 3 distinct contents
+            }
+            for i in range(9)
+        ]
+    ).to_parquet(f"{in_dir}/p0.parquet", index=False)
+
+    q = start_dedup_sink(
+        stream_exact_dedup(spark, in_dir), out_dir, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 3
+
+    # second run, same checkpoint: input unchanged → nothing re-emitted
+    q2 = start_dedup_sink(
+        stream_exact_dedup(spark, in_dir), out_dir, ckpt, available_now=True
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == 3
+
+    # new file with one NEW content + two already-seen: state (restored
+    # from the checkpoint) admits only the new one
+    pd.DataFrame(
+        [
+            {"repo": "r1", "path": "b0.py", "commit": "c0", "lang": "python",
+             "content": "v = 0\n"},
+            {"repo": "r1", "path": "b1.py", "commit": "c0", "lang": "python",
+             "content": "v = 99\n"},
+            {"repo": "r1", "path": "b2.py", "commit": "c0", "lang": "python",
+             "content": "v = 1\n"},
+        ]
+    ).to_parquet(f"{in_dir}/p1.parquet", index=False)
+    q3 = start_dedup_sink(
+        stream_exact_dedup(spark, in_dir), out_dir, ckpt, available_now=True
+    )
+    q3.awaitTermination(300)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 4
+    assert sorted(got.content) == ["v = 0\n", "v = 1\n", "v = 2\n", "v = 99\n"]
