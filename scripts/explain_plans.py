@@ -56,10 +56,16 @@ def main() -> int:
         failures.append(f"column pruning failed: {m.group(1)}")
     print("## column pruning (path-only read):", m.group(1) if m else "?")
 
-    # 3. whole-stage codegen present in the metrics plan
-    mplan = metrics(quality_filter_plan(corpus, cfg))._jdf.queryExecution().executedPlan().toString()
-    print("## wholestagecodegen spans:", mplan.count("WholeStageCodegen"))
-    if "WholeStageCodegen" not in mplan:
+    # 3. whole-stage codegen present in the metrics plan —
+    #    executedPlan().toString() renders codegen stages as "*(n) "
+    #    node prefixes (the literal "WholeStageCodegen" only appears in
+    #    explain("formatted") output)
+    mdf = metrics(quality_filter_plan(corpus, cfg))
+    mdf.collect()  # AQE: codegen spans appear once the plan is final
+    mplan = mdf._jdf.queryExecution().executedPlan().toString()
+    n_cg = len(re.findall(r"\*\(\d+\) ", mplan))
+    print("## wholestagecodegen spans:", n_cg)
+    if n_cg == 0:
         failures.append("no codegen in metrics plan")
 
     # 4. broadcast anti-join in drop propagation
