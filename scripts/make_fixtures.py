@@ -8,12 +8,14 @@ Two tables, both tiny and fully deterministic:
   the driver compares them against the Spark pipeline's live output —
   pipeline-vs-independent-labels, not pipeline-vs-itself.
 
-* ``simhash_fp_sf0_01.parquet`` — SimHash fingerprints of the driver's
-  sf0.01 documents table, computed by the same ``simhash_batch``
-  function the Spark UDF calls.  The oracle then does an ALL-PAIRS
-  exact Hamming join over the fixture, which genuinely verifies the
-  banding + join machinery (pigeonhole recall guarantee) while pinning
-  the fingerprint function against regression.
+* ``simhash_fp_sf0_01.parquet`` — 128-bit SimHash fingerprints
+  (fp_lo, fp_hi) of the driver's sf0.01 documents table, computed by
+  the same ``simhash128_batch`` function the Spark UDF calls (plus the
+  64-bit ``fp`` column pinning ``simhash_batch``).  The oracle then
+  does an ALL-PAIRS exact Hamming join over the fixture, which
+  genuinely verifies the banding + join machinery (pigeonhole recall
+  guarantee) while pinning the fingerprint functions against
+  regression.
 
 Rerun after any change to the corpus generator, the naive kernel, the
 scrub rules, or the simhash function:  python scripts/make_fixtures.py
@@ -55,13 +57,21 @@ def main() -> None:
     labels.to_parquet(out, index=False)
     print(f"wrote {out}: {len(labels)} rows, {labels.expected_keep.sum()} kept")
 
-    from urqt_spark.operators.dedup import simhash_batch
+    from urqt_spark.operators.dedup import simhash128_batch, simhash_batch
 
     docs = pd.read_parquet(SF001_DOCS, columns=["doc_id", "text"]).sort_values(
         "doc_id"
     )
-    fps = simhash_batch(list(docs.text))
-    fp_df = pd.DataFrame({"id": docs.doc_id.astype("int64").values, "fp": fps})
+    texts = list(docs.text)
+    lo, hi = simhash128_batch(texts)
+    fp_df = pd.DataFrame(
+        {
+            "id": docs.doc_id.astype("int64").values,
+            "fp": simhash_batch(texts),
+            "fp_lo": lo,
+            "fp_hi": hi,
+        }
+    )
     out = os.path.join(FIXTURES, "simhash_fp_sf0_01.parquet")
     fp_df.to_parquet(out, index=False)
     print(f"wrote {out}: {len(fp_df)} fingerprints")

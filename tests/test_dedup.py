@@ -83,13 +83,85 @@ def test_simhash_neardups(spark):
     df = spark.createDataFrame(
         [(0, base), (1, base), (2, near), (3, other)], ["doc_id", "text"]
     )
+    # h=8 needs the 128-bit fingerprint (64-bit banding would be
+    # degenerate and is refused — see test_simhash_degenerate_guard)
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in simhash_neardup_pairs(df, max_hamming=8).collect()
+        for r in simhash_neardup_pairs(df, max_hamming=8, n_bits=128).collect()
     }
     assert pairs[(0, 1)] == 0  # exact dup → identical fingerprint
     assert pairs.get((0, 2), 99) <= 8  # near dup within the band
     assert not any(3 in p for p in pairs)  # unrelated doc not paired
+
+
+def test_simhash_64bit_small_hamming(spark):
+    # the 64-bit path stays valid for h <= 4 (chunk values >= 12 bits)
+    from urqt_spark.operators.dedup import simhash_neardup_pairs
+
+    base = " ".join(f"tok{i % 23}x{i % 7}" for i in range(400))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, "nothing in common here at all")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs == {(0, 1): 0}
+
+
+def test_simhash_degenerate_guard():
+    # 64 bits at h=8 → ~7-bit chunk values → candidate generation
+    # degenerates toward N²/128 at corpus scale: refused, not silently
+    # slow (VERDICT r2 what's-wrong #1)
+    import pytest as _pytest
+
+    from urqt_spark.operators.dedup import simhash_neardup_pairs
+
+    with _pytest.raises(ValueError, match="degenerate"):
+        simhash_neardup_pairs(None, max_hamming=8, n_bits=64)
+    with _pytest.raises(ValueError, match="degenerate"):
+        simhash_neardup_pairs(None, max_hamming=10, n_bits=128)
+
+
+def test_simhash128_chunk_straddle(spark):
+    # the pigeonhole guarantee must survive chunks straddling the
+    # lo/hi boundary: ALL pairs within hamming <= 8 of a 128-bit
+    # fingerprint must be found (compare against brute force)
+    import itertools
+
+    import numpy as np
+
+    from urqt_spark.operators.dedup import (
+        simhash128_batch,
+        simhash_neardup_pairs,
+    )
+
+    texts = []
+    base_words = [f"w{i}q{i % 11}" for i in range(250)]
+    texts.append(" ".join(base_words))
+    for k in (1, 3, 5):  # increasing edit sizes → spread of hammings
+        w = list(base_words)
+        for j in range(k):
+            w[j * 17 % 250] = f"edit{k}_{j}"
+        texts.append(" ".join(w))
+    texts.append(" ".join(f"z{i * 3 % 29}" for i in range(250)))
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(df, max_hamming=8, n_bits=128).collect()
+    }
+    lo, hi = simhash128_batch(texts)
+    expect = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        ham = int(
+            bin((int(lo[a]) ^ int(lo[b])) & (1 << 64) - 1).count("1")
+            + bin((int(hi[a]) ^ int(hi[b])) & (1 << 64) - 1).count("1")
+        )
+        if ham <= 8:
+            expect[(a, b)] = ham
+    assert got == expect
+    assert len(expect) >= 1  # the construction produced real near-dups
 
 
 def test_similarity_topk(spark):

