@@ -538,11 +538,10 @@ def _ivf_parts(sf_dir: str):
 
     path = f"{sf_dir}/embeddings.parquet"
     cents = ivf_centroids(path, n_centroids=IVF_CENTROIDS, iters=IVF_ITERS)
-    row0 = (
-        pd.read_parquet(path, columns=["vec_id", "embedding"])
-        .sort_values("vec_id")
-        .iloc[0]
-    )
+    # predicate-pushed single-row read — never the whole table
+    row0 = pd.read_parquet(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "==", 0)]
+    ).iloc[0]
     assert int(row0["vec_id"]) == 0
     return cents, [float(x) for x in row0["embedding"]]
 

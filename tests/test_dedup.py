@@ -209,6 +209,40 @@ def test_lsh_ann_agrees_with_brute_force(spark):
     assert len(approx) >= 0.9 * len(exact)  # high recall on tight clusters
 
 
+def test_ivf_training_sample_is_bounded():
+    # the coarse quantizer must NOT materialize the full table in the
+    # driver: it trains on the id % P == 0 subset, P from metadata
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from urqt_spark.operators.similarity import ivf_centroids, ivf_training_sample
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(1000),
+            "embedding": [rng.standard_normal(8).tolist() for _ in range(1000)],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/emb.parquet"
+        pdf.to_parquet(p, index=False)
+        ids, X, P = ivf_training_sample(p, sample_target=100)
+        assert P == 10
+        assert len(ids) == 100 and X.shape == (100, 8)
+        assert (ids % 10 == 0).all() and (np.diff(ids) > 0).all()
+        # centroids from the bounded sample == centroids from training
+        # on the manually-constructed subset (determinism contract)
+        sub = pdf[pdf.vec_id % 10 == 0].reset_index(drop=True)
+        p2 = f"{d}/sub.parquet"
+        sub.to_parquet(p2, index=False)
+        c_sampled = ivf_centroids(p, n_centroids=4, iters=3, sample_target=100)
+        c_manual = ivf_centroids(p2, n_centroids=4, iters=3)
+        assert c_sampled == c_manual
+
+
 def test_ivf_topk_recall_and_no_shuffle(spark):
     import numpy as np
 
