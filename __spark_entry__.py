@@ -394,26 +394,27 @@ def q_streaming_filter(spark, sf_dir):
     )
 
     root = tempfile.mkdtemp(prefix="entry_stream_")
-    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
-    corpus = generate_corpus(1000, seed=42, compute_labels=False)
-    spark.createDataFrame(
-        corpus[["repo", "path", "commit", "lang", "content"]]
-    ).coalesce(4).write.mode("overwrite").parquet(in_dir)
+    try:
+        in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+        corpus = generate_corpus(1000, seed=42, compute_labels=False)
+        spark.createDataFrame(
+            corpus[["repo", "path", "commit", "lang", "content"]]
+        ).coalesce(4).write.mode("overwrite").parquet(in_dir)
 
-    filtered = stream_quality_filter(spark, in_dir, cfg=FilterConfig())
-    q = start_filter_sink(filtered, out_dir, ckpt, available_now=True)
-    q.awaitTermination()
+        filtered = stream_quality_filter(spark, in_dir, cfg=FilterConfig())
+        q = start_filter_sink(filtered, out_dir, ckpt, available_now=True)
+        q.awaitTermination()
 
-    out = spark.read.parquet(out_dir).select(
-        "repo", "path", "lang", "scrubbed_sha256"
-    )
-    # materialize before the temp tree goes away
-    result = spark.createDataFrame(
-        out.toPandas(),
-        schema="repo string, path string, lang string, scrubbed_sha256 string",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+        out = spark.read.parquet(out_dir).select(
+            "repo", "path", "lang", "scrubbed_sha256"
+        )
+        # materialize before the temp tree goes away
+        return spark.createDataFrame(
+            out.toPandas(),
+            schema="repo string, path string, lang string, scrubbed_sha256 string",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -486,42 +487,45 @@ def q_stateful_dedup(spark, sf_dir):
     )
 
     root = tempfile.mkdtemp(prefix="entry_sdedup_")
-    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
-    _os.makedirs(in_dir)
-    now = time.time()
-    for fidx in range(3):
-        rows = [
-            {
-                "repo": f"r{fidx}",
-                "path": f"f{fidx}/file{i:03d}.py",
-                "commit": "c0",
-                "lang": "python",
-                "content": f"def f{i}():\n    return {i}\n",
-            }
-            for i in range(SD_KEYS)
-            if (i + fidx) % 2 == 0
-        ]
-        p = f"{in_dir}/part{fidx}.parquet"
-        pd.DataFrame(rows).to_parquet(p, index=False)
-        # file-source batch order: ascending mtime (ties by path) —
-        # pin both so batch order == fidx order deterministically
-        _os.utime(p, (now + 10 * fidx, now + 10 * fidx))
+    try:
+        in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+        _os.makedirs(in_dir)
+        now = time.time()
+        for fidx in range(3):
+            rows = [
+                {
+                    "repo": f"r{fidx}",
+                    "path": f"f{fidx}/file{i:03d}.py",
+                    "commit": "c0",
+                    "lang": "python",
+                    "content": f"def f{i}():\n    return {i}\n",
+                }
+                for i in range(SD_KEYS)
+                if (i + fidx) % 2 == 0
+            ]
+            p = f"{in_dir}/part{fidx}.parquet"
+            pd.DataFrame(rows).to_parquet(p, index=False)
+            # file-source batch order: ascending mtime (ties by path) —
+            # pin both so batch order == fidx order deterministically
+            _os.utime(p, (now + 10 * fidx, now + 10 * fidx))
 
-    q = start_dedup_sink(
-        stream_exact_dedup(spark, in_dir, max_files_per_trigger=1),
-        out_dir,
-        ckpt,
-        available_now=True,
-    )
-    q.awaitTermination()
+        q = start_dedup_sink(
+            stream_exact_dedup(spark, in_dir, max_files_per_trigger=1),
+            out_dir,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination()
 
-    out = spark.read.parquet(out_dir).select("content_key", "repo", "path", "lang")
-    result = spark.createDataFrame(
-        out.toPandas(),
-        schema="content_key string, repo string, path string, lang string",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+        out = spark.read.parquet(out_dir).select(
+            "content_key", "repo", "path", "lang"
+        )
+        return spark.createDataFrame(
+            out.toPandas(),
+            schema="content_key string, repo string, path string, lang string",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 IVF_K, IVF_CENTROIDS, IVF_PROBE, IVF_ITERS = 10, 16, 4, 5

@@ -86,6 +86,13 @@ def main() -> None:
     from urqt_spark.plans.pipeline import metrics, quality_filter_plan
     from urqt_spark.session import get_spark
 
+    # budget clock starts at process entry: corpus generation and JVM
+    # launch count against the driver's wall limit too (the round-1
+    # rc=124 kill arrived with nothing recorded because early unguarded
+    # work ate the budget before the first guard check)
+    t_start = time.time()
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+
     sf = sf_of(SF_DIR)
     n_rows = _SF_ROWS[sf]
     corpus_path = corpus_parquet(n_rows)
@@ -107,12 +114,10 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    t_start = time.time()
+
     # hard wall budget: the driver kills a long bench with rc=124 and
     # records NOTHING (round-1 failure mode).  Shed remaining work and
     # emit the JSON line instead of being killed mid-query.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
-
     def over_budget() -> bool:
         return time.time() - t_start > budget
 
@@ -158,17 +163,13 @@ def main() -> None:
     # of all (round-1 bench burned ~5 min here).  An input sample keeps
     # all input splits (limit() would coalesce to one partition) and
     # still warms every codepath: scan, shuffle, fused UDF, sink.
-    print("[bench] warmup", file=sys.stderr, flush=True)
-    t0 = time.time()
-    try:
-        force(
+    timed(
+        "warmup",
+        lambda: force(
             quality_filter_plan(corpus.sample(0.05, seed=1), cfg).select(*OUT_COLS),
             "warm",
-        )
-    except Exception as exc:  # noqa: BLE001
-        errors["warmup"] = f"{type(exc).__name__}: {exc}"[:300]
-    timings["warmup"] = round(time.time() - t0, 3)
-    print(f"[bench] warmup: {timings['warmup']}s", file=sys.stderr, flush=True)
+        ),
+    )
     # three timed passes; min = headline (host-noise robust)
     samples = []
     for i in range(3):

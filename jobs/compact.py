@@ -10,8 +10,13 @@ target size — the standard companion batch job to a streaming sink
 
 Shape: ONE coalesce/repartition to ceil(total_bytes / target) files.
 ``--by-lang`` keeps the ``partitionBy(lang)`` layout (the pruning axis)
-and sizes within each partition via a repartition on lang + a salt so
-one huge lang still splits across files.
+and sizes WITHIN each lang: lang ``l`` gets ``ceil(bytes_l / target)``
+salt buckets (bytes_l estimated from its row share), and rows are
+range-partitioned on a dense global bucket id — so a dominant lang
+splits across exactly its own bucket count while small langs stay one
+file each, and the total file count is Σ per-lang buckets (round 2
+salted every lang over the GLOBAL file target, fanning each lang into
+up to n_files files — ~0.63·n_files·n_langs output files).
 
     spark-submit --py-files dist/quality_filter.zip jobs/compact.py \
         --input /data/stream_sink --output /data/compacted \
@@ -52,14 +57,47 @@ def compact(spark, in_dir: str, out_dir: str, target_mb: int, by_lang: bool) -> 
 
     df = spark.read.parquet(in_dir)
     total = dir_bytes(in_dir)
-    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    target_bytes = target_mb * 1024 * 1024
+    n_files = max(1, math.ceil(total / target_bytes))
+    per_lang_files: dict[str, int] = {}
     if by_lang:
-        # keep the pruning layout; salt so a dominant lang still splits
-        salt = F.pmod(F.xxhash64(*df.columns[:1]), F.lit(n_files)).alias("_salt")
+        # per-lang byte estimate from row share (ONE bounded agg —
+        # n_langs rows to the driver); lang l gets its OWN bucket
+        # count ceil(bytes_l / target), so no lang fans out past its
+        # size and the total is Σ buckets, not n_files × n_langs
+        rows_by_lang = {
+            r["lang"]: r["n"]
+            for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total_rows = sum(rows_by_lang.values()) or 1
+        per_lang_files = {
+            lang: max(1, math.ceil(total * n / total_rows / target_bytes))
+            for lang, n in rows_by_lang.items()
+        }
+        offsets, off = {}, 0
+        for lang in sorted(per_lang_files):
+            offsets[lang] = off
+            off += per_lang_files[lang]
+        fmap = F.create_map(
+            *[
+                x
+                for lang in sorted(per_lang_files)
+                for x in (F.lit(lang), F.lit(per_lang_files[lang]))
+            ]
+        )
+        omap = F.create_map(
+            *[x for lang in sorted(offsets) for x in (F.lit(lang), F.lit(offsets[lang]))]
+        )
+        # deterministic (rand-free) row key over ALL columns — a
+        # low-cardinality first column can no longer collapse the salt
+        row_key = F.xxhash64(*[F.col(c) for c in df.columns])
+        bucket = omap[F.col("lang")] + F.pmod(row_key, fmap[F.col("lang")])
+        # range partitioning keeps equal bucket ids in ONE partition
+        # (hash repartition would birthday-collide distinct buckets)
         (
-            df.withColumn("_salt", salt)
-            .repartition(n_files, "lang", "_salt")
-            .drop("_salt")
+            df.withColumn("_bucket", bucket)
+            .repartitionByRange(off, "_bucket")
+            .drop("_bucket")
             .write.mode("overwrite")
             .partitionBy("lang")
             .parquet(out_dir)
@@ -71,11 +109,14 @@ def compact(spark, in_dir: str, out_dir: str, target_mb: int, by_lang: bool) -> 
             else df.repartition(n_files)
         )
         writer.write.mode("overwrite").parquet(out_dir)
-    return {
+    stats = {
         "input_bytes": total,
         "target_files": n_files,
         "rows": spark.read.parquet(out_dir).count(),
     }
+    if by_lang:
+        stats["per_lang_files"] = per_lang_files
+    return stats
 
 
 def main(argv=None, spark=None) -> int:

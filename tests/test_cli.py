@@ -94,3 +94,55 @@ def test_compact_job(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(src).collect()}
     b = {tuple(r) for r in spark.read.parquet(dst).collect()}
     assert a == b
+
+
+def test_compact_job_by_lang(spark, tmp_path):
+    """--by-lang sizes WITHIN each lang: a dominant lang splits into
+    its own ceil(bytes/target) files; small langs stay one file each;
+    the total never fans out to n_files x n_langs (the round-2 bug)."""
+    import glob
+
+    from jobs.compact import compact
+
+    src = str(tmp_path / "small_l")
+    dst = str(tmp_path / "compacted_l")
+    import numpy as np
+
+    # incompressible payloads so parquet size tracks logical size
+    rng = np.random.default_rng(42)
+    blob = rng.integers(48, 122, size=(2700, 2000), dtype=np.uint8)
+    pads = [bytes(b).decode("ascii") for b in blob]
+    rows = [
+        (f"r{i % 7}", f"py{i}.py", "c0", "python", f"# {pads[i]} {i}\n")
+        for i in range(2500)
+    ] + [
+        (f"r{i % 3}", f"go{i}.go", "c0", "go", f"// {pads[2500 + i]} {i}\n")
+        for i in range(100)
+    ] + [
+        (f"r{i % 3}", f"rs{i}.rs", "c0", "rust", f"// {pads[2600 + i]} {i}\n")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    df.repartition(32).write.parquet(src)
+
+    stats = compact(spark, src, dst, target_mb=1, by_lang=True)
+    plf = stats["per_lang_files"]
+    assert plf["python"] >= 2  # the dominant lang really splits
+    assert plf["go"] == 1 and plf["rust"] == 1
+    counts = {
+        lang: len(glob.glob(f"{dst}/lang={lang}/part-*.parquet"))
+        for lang in ("python", "go", "rust")
+    }
+    # per-lang output file count is bounded by its OWN bucket count
+    # (range partitioning may merge adjacent buckets, never fan out)
+    assert counts["go"] == 1 and counts["rust"] == 1
+    assert 2 <= counts["python"] <= plf["python"]
+    assert sum(counts.values()) <= sum(plf.values())
+    assert stats["rows"] == len(rows)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    a = {tuple(r) for r in spark.read.parquet(src).select(*cols).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dst).select(*cols).collect()}
+    assert a == b
