@@ -21,6 +21,8 @@ from urqt_spark.operators.grouped_stats import length_stats_oracle_sql
 from urqt_spark.plans.entry_queries import (
     WORD_Q_SQL,
     trim_classes_df,
+    trim_classes_em_df,
+    trim_classes_em_sql,
     trim_classes_sql,
     trim_words_cte,
     trim_words_df,
@@ -253,6 +255,13 @@ def q_trim_classes(spark, sf_dir):
     target class, armed clamps, collapse + boundary rule, min-size
     decision — oracled in full (see entry_queries.trim_classes_sql)."""
     return trim_classes_df(spark, sf_dir)
+
+
+def q_trim_classes_em(spark, sf_dir):
+    """Multi-iteration EM fixed point vs independent naive labels over
+    the committed em_docs fixture (see entry_queries.trim_classes_em_df
+    — em_moved pins that the loop really iterates past iteration 1)."""
+    return trim_classes_em_df(spark, sf_dir)
 
 
 def q_trim_stats_by_lang(spark, sf_dir):
@@ -620,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "trim_words": q_trim_words,
         "trim_classes": q_trim_classes,
+        "trim_classes_em": q_trim_classes_em,
         "trim_stats_by_lang": q_trim_stats_by_lang,
         "pricing_summary": q_pricing_summary,
         "order_drop_propagation": q_order_drop_propagation,
@@ -826,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {trim_words_cte("documents")}
             SELECT doc_id, cut_begin, cut_end, keep, kept_words FROM trim""",
         "trim_classes": trim_classes_sql("documents"),
+        "trim_classes_em": trim_classes_em_sql(),
         "trim_stats_by_lang": f"""
             WITH {trim_words_cte("documents")}
             SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -76,6 +76,64 @@ def main() -> None:
     fp_df.to_parquet(out, index=False)
     print(f"wrote {out}: {len(fp_df)} fingerprints")
 
+    # EM multi-iteration fixture (trim_classes_em oracle): random
+    # (q, cls) docs where the EM FIXED POINT provably differs from its
+    # first (uniform-pi) iteration on >=16 docs, labeled by the
+    # INDEPENDENT scalar transcription cut_points_em_naive.  Docs where
+    # the two implementations disagree bit-exactly (float summation-
+    # order near-ties) are skipped so the committed oracle is stable.
+    import numpy as np
+
+    from urqt_spark.kernel import (
+        cut_points_em,
+        cut_points_em_naive,
+        decide,
+        phred_lut,
+    )
+
+    lut = phred_lut(20)
+    rng = np.random.default_rng(11)
+    in_rows, label_rows, n_moved = [], [], 0
+    while len(in_rows) < 64:
+        n = int(rng.integers(6, 30))
+        q = rng.integers(1, 45, size=n)
+        cls = rng.integers(0, 4, size=n)
+        p = lut[q - 1]
+        fixed = cut_points_em(p, cls, target_class=0)
+        naive = cut_points_em_naive(p, cls, target_class=0)
+        if naive != fixed:
+            continue
+        moved = cut_points_em(p, cls, target_class=0, max_iter=1) != fixed
+        if not moved and (len(in_rows) - n_moved) >= 40:
+            continue  # cap the non-moving docs; keep hunting movers
+        n_moved += moved
+        doc_id = len(in_rows)
+        cb, ce = naive
+        in_rows.append(
+            {
+                "doc_id": doc_id,
+                "q": q.astype("int64").tolist(),
+                "cls": cls.astype("int64").tolist(),
+            }
+        )
+        label_rows.append(
+            {
+                "doc_id": doc_id,
+                "cut_begin": cb,
+                "cut_end": ce,
+                "keep": bool(decide(q, cb, ce)),
+                "em_moved": bool(moved),
+            }
+        )
+    assert n_moved >= 16, f"only {n_moved} EM-moved docs"
+    pd.DataFrame(in_rows).to_parquet(
+        os.path.join(FIXTURES, "em_docs.parquet"), index=False
+    )
+    pd.DataFrame(label_rows).to_parquet(
+        os.path.join(FIXTURES, "em_labels.parquet"), index=False
+    )
+    print(f"wrote em fixtures: {len(in_rows)} docs, {n_moved} EM-moved")
+
 
 if __name__ == "__main__":
     main()

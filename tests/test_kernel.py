@@ -11,6 +11,7 @@ import pytest
 from urqt_spark.kernel import (
     MAX_QUAL,
     cut_points_em,
+    cut_points_em_naive,
     cut_points_qc,
     cut_points_qc_naive,
     phred_lut,
@@ -200,3 +201,39 @@ def test_max_head_tail_zero_disables_scan():
     assert run(q, max_tail=0) == (5, 19, True)
     assert run(q, max_head=0) == (0, 14, True)
     assert run(q, max_head=0, max_tail=0) == (0, 19, True)
+
+
+def test_em_naive_matches_vectorized():
+    # the independent scalar transcription (per-candidate loops,
+    # per-segment re-summation — the trim_classes_em oracle's label
+    # generator) agrees with the prefix-sum kernel across random docs,
+    # class modes, and clamp settings
+    rng = np.random.default_rng(5)
+    for _ in range(120):
+        n = int(rng.integers(4, 25))
+        q = rng.integers(1, MAX_QUAL, size=n)
+        cls = rng.integers(0, 4, size=n)
+        p = quality_to_proba(q, LUT20)
+        for tc in (None, 0, 2):
+            for mh, mt in ((None, None), (3, 3)):
+                assert cut_points_em(
+                    p, cls, target_class=tc, max_head=mh, max_tail=mt
+                ) == cut_points_em_naive(
+                    p, cls, target_class=tc, max_head=mh, max_tail=mt
+                )
+
+
+def test_em_second_iteration_moves_the_cut():
+    # pinned instance where the EM fixed point differs from the first
+    # (uniform-pi) iteration: six q=20 class-1 words then a q=8 tail of
+    # classes 2/3.  Iteration 1 cuts at (2, 4); re-estimating the
+    # composition from the kept segment tilts pi toward class 1, which
+    # changes the keep terms and moves the converged cut to (2, 5).
+    # Guards the loop beyond its first iteration
+    # (/root/reference/Segmentation.cpp:184-253).
+    q = np.array([20] * 6 + [8] * 4)
+    cls = np.array([1] * 6 + [2, 3, 2, 3])
+    p = quality_to_proba(q, LUT20)
+    assert cut_points_em(p, cls, target_class=0, max_iter=1) == (2, 4)
+    assert cut_points_em(p, cls, target_class=0) == (2, 5)
+    assert cut_points_em_naive(p, cls, target_class=0) == (2, 5)

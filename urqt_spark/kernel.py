@@ -351,6 +351,115 @@ def cut_points_em(
     return cut_begin, cut_end
 
 
+def cut_points_em_naive(
+    p: np.ndarray,
+    classes: np.ndarray,
+    target_class: int | None = None,
+    pos: str = "both",
+    max_head: int | None = None,
+    max_tail: int | None = None,
+    tol: float = 0.01,
+    max_iter: int = 100,
+) -> tuple[int, int]:
+    """Independent scalar transcription of :func:`cut_points_em` —
+    explicit per-candidate loops and per-segment re-summation, no
+    prefix sums.  Used by property tests AND as the label generator
+    for the ``trim_classes_em`` oracle fixture (the same
+    independent-implementation pattern as the flagship's naive-kernel
+    labels): the fixture generator keeps only docs where this function
+    and the vectorized kernel agree bit-exactly, so float summation-
+    order near-ties can never make the committed oracle unstable."""
+    import math
+
+    p = np.asarray(p, dtype=np.float64)
+    classes = np.asarray(classes, dtype=np.int64)
+    n = p.size
+    if n == 0:
+        return 0, -1
+    eps = float(np.finfo(np.float64).tiny)
+
+    def keep_ll(b: int, e: int, pi) -> float:
+        if e < b:
+            return 0.0
+        s = 0.0
+        for j in range(b, e + 1):
+            s += math.log(max(p[j], eps))
+            if target_class is not None:
+                s += math.log(max(pi[classes[j]], eps))
+        L = e - b + 1
+        return s - L * math.log(L)
+
+    def bad_ll(b: int, e: int) -> float:
+        if e < b:
+            return 0.0
+        s = 0.0
+        for j in range(b, e + 1):
+            if target_class is not None and classes[j] == target_class:
+                s += math.log(max(p[j], eps))
+            else:
+                s += LOG_QUARTER + math.log(max(1.0 - p[j], eps))
+        L = e - b + 1
+        return s - L * math.log(L)
+
+    def reestimate(b: int, e: int) -> list[float]:
+        if e < b:
+            return [0.25] * N_CLASSES
+        counts = [0.0] * N_CLASSES
+        for j in range(b, e + 1):
+            for c in range(N_CLASSES):
+                counts[c] += p[j] if c == classes[j] else (1.0 - p[j]) / 3.0
+        tot = sum(counts)
+        return [c / tot for c in counts]
+
+    cut_begin, cut_end = 0, n - 1
+
+    if pos in ("tail", "both") and max_tail != 0:
+        pi = [0.25] * N_CLASSES
+        old, new, it = 0.0, 1.0, 0
+        while abs(new - old) > tol and it < max_iter:
+            old = new
+            best, bi = -math.inf, -1
+            for i in range(-1, n):
+                v = keep_ll(0, i, pi) + bad_ll(i + 1, n - 1)
+                if v > best:
+                    best, bi = v, i
+            cut_end = bi
+            new = best
+            pi = reestimate(cut_begin, cut_end)
+            it += 1
+        if max_tail is not None and cut_end < n - max_tail - 1:
+            cut_end = n - max_tail - 1
+
+    if pos in ("head", "both") and max_head != 0:
+        k1 = cut_end
+        pi = [0.25] * N_CLASSES
+        old, new, it = 0.0, 1.0, 0
+        while abs(new - old) > tol and it < max_iter:
+            old = new
+            best, bi = -math.inf, -1
+            for i in range(-1, k1 + 1):
+                v = bad_ll(0, i) + keep_ll(i + 1, k1, pi)
+                if v > best:
+                    best, bi = v, i
+            cut_begin = bi + 1
+            new = best
+            pi = reestimate(cut_begin, cut_end)
+            it += 1
+        if max_head is not None and cut_begin > max_head:
+            cut_begin = max_head
+
+    if target_class is not None:
+        pi_final = reestimate(cut_begin, cut_end)
+        if cut_end < cut_begin or pi_final[target_class] >= 0.99:
+            cut_begin = cut_end = 0
+        elif cut_end != cut_begin:
+            if 0 <= cut_end < n - 1 and classes[cut_end + 1] == target_class:
+                cut_end += 1
+            if cut_begin > 0 and classes[cut_begin - 1] == target_class:
+                cut_begin -= 1
+    return cut_begin, cut_end
+
+
 def qc_check(
     q: np.ndarray, cut_begin: int, cut_end: int, min_qc_phred: int, min_qc_length: float
 ) -> bool:
