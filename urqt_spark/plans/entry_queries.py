@@ -420,6 +420,230 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM final"""
 
 
+# ---------------------------------------------------------------------------
+# EP2: two-pass sampled-composition → fixed-probability trim
+# ---------------------------------------------------------------------------
+# The reference's --S mode (/root/reference/UrQt.cpp:682-737): pass 1
+# estimates the composition from a read SAMPLE; pass 2 trims every read
+# with the FIXED probabilities derived from it (the non-EM scan,
+# Segmentation.cpp:120-164).  Here: pass 1 computes the soft word-class
+# composition over the deterministic doc_id % 20 == 0 sample; the
+# resulting per-(q, cls) keep/bad terms are broadcast into BOTH engines
+# as shared double literals; pass 2 is the clamped two-scan DP.
+
+EP2_TARGET = 0
+EP2_MAX_HEAD = 4
+EP2_MAX_TAIL = 6
+
+
+def ep2_composition(sf_dir: str) -> np.ndarray:
+    """Pass-1 sampled composition: soft class counts (own class p,
+    others (1-p)/3) over the sampled docs, streamed in row-group
+    batches (bounded driver memory — same scan discipline as IVF
+    training).  Returns pi (4 doubles); only THIS function computes it,
+    so both engines inline identical literals and there is no
+    cross-engine float drift."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    counts = np.zeros(4, dtype=np.float64)
+    for batch in pf.iter_batches(columns=["doc_id", "text"]):
+        i_id = batch.schema.get_field_index("doc_id")
+        i_tx = batch.schema.get_field_index("text")
+        ids = batch.column(i_id).to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.nonzero(ids % 20 == 0)[0]
+        for j in sel:
+            words = (batch.column(i_tx)[int(j)].as_py() or "").split(" ")
+            L = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+            q = np.clip(L * 5, 1, 44)
+            p = _LUT[q - 1]
+            cls = L % 4
+            off = (1.0 - p) / 3.0
+            tot_off = off.sum()
+            for c in range(4):
+                m = cls == c
+                counts[c] += p[m].sum() + (tot_off - off[m].sum())
+    return counts / counts.sum()
+
+
+def _ep2_tables(pi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(kt, bt) per-(q, cls) term tables, shape (44, 4): keep term
+    lk + log pi[cls]; bad term lk for the target class else lb."""
+    lpi = np.log(np.maximum(pi, _EPS))
+    kt = _LK[:, None] + lpi[None, :]
+    bt = np.where(
+        np.arange(4)[None, :] == EP2_TARGET, _LK[:, None], _LB[:, None]
+    )
+    return kt, bt
+
+
+def ep2_lut_sql(pi: np.ndarray) -> str:
+    kt, bt = _ep2_tables(pi)
+    rows = ",".join(
+        f"({q + 1}, {c}, {_fmt(kt[q, c])}, {_fmt(bt[q, c])})"
+        for q in range(44)
+        for c in range(4)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS lut(q, cls, kt, bt))"
+
+
+def trim_ep2_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass 2 over ALL docs with pass 1's composition fixed: the
+    clamped two-scan DP on class-weighted terms (no EM, no collapse —
+    the reference's polyNtrim fixed path)."""
+    kt, bt = _ep2_tables(ep2_composition(sf_dir))
+    mh, mt = EP2_MAX_HEAD, EP2_MAX_TAIL
+
+    schema = StructType(
+        [
+            StructField("cut_begin", IntegerType(), False),
+            StructField("cut_end", IntegerType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def ep2_udf(qarrs: pd.Series, carrs: pd.Series) -> pd.DataFrame:
+        R = len(qarrs)
+        cbs = np.empty(R, dtype=np.int32)
+        ces = np.empty(R, dtype=np.int32)
+        for r in range(R):
+            q = np.asarray(qarrs.iloc[r], dtype=np.int64)
+            cls = np.asarray(carrs.iloc[r], dtype=np.int64)
+            n = q.size
+            if n == 0:
+                cbs[r], ces[r] = 0, -1
+                continue
+            tk, tb = kt[q - 1, cls], bt[q - 1, cls]
+            ck = np.concatenate(([0.0], np.cumsum(tk)))
+            cb = np.concatenate(([0.0], np.cumsum(tb)))
+            L = np.arange(n + 1, dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pr = -L * np.log(L)
+            pr[0] = 0.0
+            j = np.arange(n + 1)
+            logl = ck[j] + pr[j] + (cb[n] - cb[j]) + pr[n - 1 - j + 1]
+            cut_end = int(np.argmax(logl)) - 1
+            cut_end = max(cut_end, n - mt - 1)
+            j = np.arange(cut_end + 2)
+            logl = cb[j] + pr[j] + (ck[cut_end + 1] - ck[j]) + pr[cut_end - j + 1]
+            cut_begin = min(int(np.argmax(logl)), mh)
+            cbs[r], ces[r] = cut_begin, cut_end
+        return pd.DataFrame({"cut_begin": cbs, "cut_end": ces})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    q = F.transform(
+        words,
+        lambda w: F.greatest(F.lit(1), F.least(F.lit(44), F.length(w) * 5)).cast("int"),
+    )
+    cls = F.transform(words, lambda w: (F.length(w) % 4).cast("int"))
+    t = F.col("_t")
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            q.alias("q"),
+            cls.alias("cls"),
+        )
+        .withColumn("_t", ep2_udf(F.col("q"), F.col("cls")))
+        .select(
+            "doc_id",
+            t["cut_begin"].cast("long").alias("cut_begin"),
+            t["cut_end"].cast("long").alias("cut_end"),
+            (t["cut_end"] - t["cut_begin"] > 0).alias("keep"),
+            F.when(t["cut_end"] >= t["cut_begin"], t["cut_end"] - t["cut_begin"] + 1)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept_words"),
+        )
+    )
+
+
+def trim_ep2_sql(sf_dir: str, docs_rel: str = "documents") -> str:
+    """DuckDB oracle: identical scan over the SAME (q, cls) term
+    literals pass 1 produced."""
+    pi = ep2_composition(sf_dir)
+    mh, mt = EP2_MAX_HEAD, EP2_MAX_TAIL
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS i
+  FROM {docs_rel}
+),
+terms AS (
+  SELECT doc_id, i, lut.kt, lut.bt
+  FROM (SELECT doc_id, i, {WORD_Q_SQL} AS q, (length(w) % 4) AS cls FROM words) wq
+  JOIN {ep2_lut_sql(pi)} lut USING (q, cls)
+),
+cums AS (
+  SELECT doc_id, i,
+         SUM(kt) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+         SUM(bt) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM terms
+),
+doc_n AS (
+  SELECT c.doc_id, mx.n, c.cb AS cbn
+  FROM cums c
+  JOIN (SELECT doc_id, COUNT(*) AS n FROM cums GROUP BY doc_id) mx
+    ON c.doc_id = mx.doc_id AND c.i = mx.n - 1
+),
+tail_cand AS (
+  SELECT c.doc_id, c.i,
+         c.ck + (CASE WHEN c.i + 1 > 0 THEN -(c.i + 1) * ln(CAST(c.i + 1 AS DOUBLE)) ELSE 0.0 END)
+              + (d.cbn - c.cb)
+              + (CASE WHEN d.n - 1 - c.i > 0 THEN -(d.n - 1 - c.i) * ln(CAST(d.n - 1 - c.i AS DOUBLE)) ELSE 0.0 END)
+         AS logl
+  FROM cums c JOIN doc_n d USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, -1,
+         d.cbn + (CASE WHEN d.n > 0 THEN -d.n * ln(CAST(d.n AS DOUBLE)) ELSE 0.0 END)
+  FROM doc_n d
+),
+tail_best AS (
+  SELECT t.doc_id,
+         CASE WHEN b.cut_end < t.n - {mt} - 1 THEN t.n - {mt} - 1 ELSE b.cut_end END AS cut_end
+  FROM (SELECT doc_id, i AS cut_end FROM tail_cand
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY logl DESC, i ASC) = 1) b
+  JOIN (SELECT DISTINCT doc_id, n FROM doc_n) t USING (doc_id)
+),
+head_cand AS (
+  SELECT c.doc_id, c.i,
+         c.cb + (CASE WHEN c.i + 1 > 0 THEN -(c.i + 1) * ln(CAST(c.i + 1 AS DOUBLE)) ELSE 0.0 END)
+              + (ck1.ckk - c.ck)
+              + (CASE WHEN t.cut_end - c.i > 0 THEN -(t.cut_end - c.i) * ln(CAST(t.cut_end - c.i AS DOUBLE)) ELSE 0.0 END)
+         AS logl
+  FROM cums c
+  JOIN tail_best t USING (doc_id)
+  JOIN (SELECT c2.doc_id, c2.ck AS ckk
+        FROM cums c2 JOIN tail_best t2 ON c2.doc_id = t2.doc_id AND c2.i = t2.cut_end) ck1
+    USING (doc_id)
+  WHERE c.i <= t.cut_end
+  UNION ALL
+  SELECT t.doc_id, -1,
+         0.0 + ck1.ckk
+             + (CASE WHEN t.cut_end + 1 > 0 THEN -(t.cut_end + 1) * ln(CAST(t.cut_end + 1 AS DOUBLE)) ELSE 0.0 END)
+  FROM tail_best t
+  JOIN (SELECT c2.doc_id, c2.ck AS ckk
+        FROM cums c2 JOIN tail_best t2 ON c2.doc_id = t2.doc_id AND c2.i = t2.cut_end) ck1
+    ON t.doc_id = ck1.doc_id
+  WHERE t.cut_end >= 0
+  UNION ALL
+  SELECT doc_id, -1, 0.0 FROM tail_best WHERE cut_end < 0
+),
+head_best AS (
+  SELECT doc_id, LEAST(cut_begin, {mh}) AS cut_begin
+  FROM (SELECT doc_id, i + 1 AS cut_begin FROM head_cand
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY logl DESC, i ASC) = 1) x
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(h.cut_begin AS BIGINT) AS cut_begin,
+       CAST(t.cut_end AS BIGINT) AS cut_end,
+       (t.cut_end - h.cut_begin) > 0 AS keep,
+       CAST(CASE WHEN t.cut_end >= h.cut_begin THEN t.cut_end - h.cut_begin + 1 ELSE 0 END AS BIGINT) AS kept_words
+FROM tail_best t JOIN head_best h USING (doc_id)"""
+
+
 EM_DOCS_FIXTURE = "/root/repo/fixtures/em_docs.parquet"
 EM_LABELS_FIXTURE = "/root/repo/fixtures/em_labels.parquet"
 
