@@ -59,11 +59,14 @@ def test_rerun_is_noop(spark, corpus_df, tmp_path_factory):
 
 
 def test_lineage_is_one_pass_not_per_partition(spark, corpus_df, tmp_path_factory):
-    """Structural regression: the run must NOT schedule one Spark job
-    per partition (the round-1 design ran n_parts sequential full-input
-    scans).  With n_parts=16 the whole run must stay within a handful
-    of jobs (sink write + input-stats + kept-readback + lineage append,
-    plus AQE sub-jobs)."""
+    """Structural regression, two layers: (1) the run must NOT
+    schedule one Spark job per partition (the round-1 design ran
+    n_parts sequential full-input scans); (2) the input must be
+    scanned ONCE — stats ride the write pass as observe metrics, so a
+    fresh run is exactly 2 jobs: the sink write (the only job that
+    reads the input) + the tiny lineage-table append.  A third job
+    appearing means a stats pass re-scans the input (the round-2
+    design, VERDICT r2 what's-wrong #4)."""
     base = tmp_path_factory.mktemp("lineage3")
     out, lin = str(base / "out"), str(base / "lin")
     sc = spark.sparkContext
@@ -73,4 +76,4 @@ def test_lineage_is_one_pass_not_per_partition(spark, corpus_df, tmp_path_factor
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     jobs = sc.statusTracker().getJobIdsForGroup("lineage-one-pass")
-    assert 0 < len(jobs) <= 8, f"expected a constant few jobs, got {len(jobs)}"
+    assert 0 < len(jobs) <= 2, f"expected write + lineage append, got {len(jobs)}"
