@@ -35,6 +35,56 @@ def test_stream_matches_batch(spark, corpus_small, tmp_path_factory):
     assert again.count() == len(got)
 
 
+def test_filter_stream_mid_kill_restart(spark, corpus_small, tmp_path_factory):
+    """Kill the plain filter stream MID-RUN — after the first sink
+    commit, before the remaining batches — then restart on the same
+    checkpoint: the union of the two runs is byte-identical to the
+    expected survivor set with no duplicates and nothing missing.
+    (The file-sink commit log hides any partially-written batch; the
+    source offset log resumes at the first unprocessed file.)"""
+    import os
+    import time
+
+    base = tmp_path_factory.mktemp("stream_kill")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    inputs = corpus_small[["repo", "path", "commit", "lang", "content"]]
+    spark.createDataFrame(inputs).repartition(6).write.parquet(in_dir)
+
+    q = start_filter_sink(
+        stream_quality_filter(spark, in_dir, max_files_per_trigger=1),
+        out_dir,
+        ckpt,
+        available_now=True,
+    )
+    # stop as soon as the first micro-batch commits (deterministically
+    # mid-run: 6 input files → 6 batches, each a full UDF pass)
+    first_commit = os.path.join(ckpt, "commits", "0")
+    deadline = time.time() + 180
+    while time.time() < deadline and not os.path.exists(first_commit):
+        time.sleep(0.05)
+    assert os.path.exists(first_commit), "first batch never committed"
+    q.stop()
+    q.awaitTermination(60)
+
+    expected_keep = corpus_small[corpus_small.expected_keep]
+    mid = spark.read.parquet(out_dir).toPandas()
+    assert len(mid) < len(expected_keep)  # genuinely killed mid-run
+
+    q2 = start_filter_sink(
+        stream_quality_filter(spark, in_dir, max_files_per_trigger=1),
+        out_dir,
+        ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got.path) == sorted(expected_keep.path)  # no dups/gaps
+    m = got.merge(
+        expected_keep[["path", "expected_scrubbed_sha256"]], on="path", validate="1:1"
+    )
+    assert (m.scrubbed_sha256 == m.expected_scrubbed_sha256).all()
+
+
 def test_stateful_stream_dedup(spark, tmp_path_factory):
     """applyInPandasWithState exact-dedup: duplicates arriving in
     DIFFERENT micro-batches are dropped by keyed state; one keeper per

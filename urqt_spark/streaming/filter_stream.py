@@ -31,13 +31,14 @@ def stream_quality_filter(
     spark: SparkSession,
     in_dir: str,
     cfg: FilterConfig | None = None,
+    max_files_per_trigger: int = 8,
 ) -> DataFrame:
     cfg = cfg or FilterConfig(
         langid_enabled=False, perplexity_enabled=False
     )
     src = (
         spark.readStream.schema(CORPUS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(in_dir)
     )
     # repartition=False: a stream stage must stay narrow; skew handling
