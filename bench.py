@@ -131,6 +131,10 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+        # operators may persist() intermediates (e.g. LSH signature
+        # frames); drop them so every timed pass measures a COLD run,
+        # not a cache read from the previous pass
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             fn()

@@ -285,11 +285,21 @@ def minhash_lsh_pairs(
     ONLY (id, band, bucket) — never the shingle arrays (×bands payload
     amplification through the shuffle); shingles are joined back for
     the exact verify of the (few) candidates."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = df.select(
         F.col(id_col).cast("long").alias("id"),
         word_shingles_col(text_col, n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
-    banded = minhash_banded(sh, num_perm=num_perm, bands=bands, seed=seed)
+    # materialize the (tiny, 3-longs-per-row) banded frame ONCE: both
+    # sides of the self-join otherwise recompute the signature UDF
+    # (exchange reuse does not fire across Python-UDF subplans —
+    # measured 2 ArrowEvalPython executions, ~2x the UDF cost).  At
+    # 10^12-file scale the same step is a signature TABLE write; here
+    # MEMORY_AND_DISK is its in-session form.
+    banded = minhash_banded(sh, num_perm=num_perm, bands=bands, seed=seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -494,6 +504,11 @@ def simhash_neardup_pairs(
             F.col("sig").getItem(0).alias("fp_lo"),
             F.col("sig").getItem(1).alias("fp_hi"),
         )
+    from pyspark.storagelevel import StorageLevel
+
+    # materialize fingerprints ONCE (see minhash_lsh_pairs — the
+    # self-join would recompute the UDF on both sides)
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     # the fingerprint is ≤16 bytes/row — carrying it through the
     # ×n_chunks explode is cheap (unlike shingle arrays), so no
     # join-back is needed
