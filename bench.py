@@ -121,28 +121,43 @@ def main() -> None:
     def over_budget() -> bool:
         return time.time() - t_start > budget
 
-    def timed(name, fn):
-        if over_budget():
-            errors[name] = "skipped: wall budget exhausted"
-            print(f"[bench] skip {name} (budget)", file=sys.stderr, flush=True)
-            return
-        print(
-            f"[bench] start {name} (t+{time.time() - t_start:.1f}s)",
-            file=sys.stderr,
-            flush=True,
-        )
-        # operators may persist() intermediates (e.g. LSH signature
-        # frames); drop them so every timed pass measures a COLD run,
-        # not a cache read from the previous pass
-        spark.catalog.clearCache()
-        t0 = time.time()
-        try:
-            fn()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
-        except Exception as exc:  # noqa: BLE001 — isolate per-query faults
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr, flush=True)
+    query_samples: dict[str, list[float]] = {}
+
+    def timed(name, fn, passes=1):
+        # min-of-N under the same noisy-host protocol as the flagship
+        # (bursty invisible contention; module docstring) — each pass
+        # still runs COLD (cache cleared), samples all recorded
+        samples = []
+        for i in range(passes):
+            if over_budget():
+                if not samples:
+                    errors[name] = "skipped: wall budget exhausted"
+                    print(f"[bench] skip {name} (budget)", file=sys.stderr, flush=True)
+                break
+            print(
+                f"[bench] start {name}#{i} (t+{time.time() - t_start:.1f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+            # operators may persist() intermediates (e.g. LSH signature
+            # frames); drop them so every timed pass measures a COLD
+            # run, not a cache read from the previous pass
+            spark.catalog.clearCache()
+            t0 = time.time()
+            try:
+                fn()
+                samples.append(round(time.time() - t0, 3))
+                print(f"[bench] {name}: {samples[-1]}s", file=sys.stderr, flush=True)
+            except Exception as exc:  # noqa: BLE001 — isolate per-query faults
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(
+                    f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr, flush=True
+                )
+                break
+        if samples:
+            timings[name] = min(samples)
+            if len(samples) > 1:
+                query_samples[name] = samples
 
     sink_root = tempfile.mkdtemp(prefix="bench_sink_")
 
@@ -201,18 +216,18 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
-    for name in (
-        "trim_words",
-        "exact_dedup",
-        "minhash_lsh_pairs",
-        "simhash_neardup",
-        "ann_topk",
-        "ivf_ann_topk",
-        "pricing_summary",
-        "order_drop_propagation",
-        "events_sessions",
+    for name, passes in (
+        ("trim_words", 1),
+        ("exact_dedup", 1),
+        ("minhash_lsh_pairs", 2),  # heavy queries: min-of-2 (host noise)
+        ("simhash_neardup", 2),
+        ("ann_topk", 1),
+        ("ivf_ann_topk", 2),
+        ("pricing_summary", 1),
+        ("order_drop_propagation", 1),
+        ("events_sessions", 1),
     ):
-        timed(name, lambda n=name: qs[n](spark, SF_DIR)._jdf.count())
+        timed(name, lambda n=name: qs[n](spark, SF_DIR)._jdf.count(), passes=passes)
 
     shutil.rmtree(sink_root, ignore_errors=True)
     total = round(time.time() - t_start, 3)
@@ -231,6 +246,8 @@ def main() -> None:
         "cpus_used": cpus,
         "full_samples": samples,
     }
+    if query_samples:
+        out["query_samples"] = query_samples
     if errors:
         out["errors"] = errors
     # attach the most recent two-parallelism scaling measurement

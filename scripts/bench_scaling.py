@@ -81,6 +81,12 @@ N_LO, N_HI = 2, 8
 # ramp (measured 88/47/25/24 s at local[8]) — pass 3 is steady state,
 # and min-of-3 per JVM × interleaved reps is the noise instrument.
 REPS = int(os.environ.get("SCALING_REPS", "4"))
+# Optional full slot ladder (e.g. SCALING_LADDER=2,4,8,16,32): one
+# fresh JVM per level, min-of-3.  The ladder is the measured evidence
+# for WHY 2→8 is the right window on this host — it must be
+# re-measured whenever the flagship's per-slot cost changes, never
+# cited from memory.
+LADDER = [int(x) for x in os.environ.get("SCALING_LADDER", "").split(",") if x]
 
 
 def run_level(cpus: int, corpus_path: str) -> dict:
@@ -107,6 +113,11 @@ def main() -> None:
         hi_runs.append(run_level(N_HI, corpus_path))
         print(json.dumps({"lo": lo_runs[-1], "hi": hi_runs[-1]}),
               file=sys.stderr, flush=True)
+    ladder = []
+    for cpus in LADDER:
+        ladder.append(run_level(cpus, corpus_path))
+        print(json.dumps({"ladder": ladder[-1]}), file=sys.stderr, flush=True)
+
     lo = min(lo_runs, key=lambda r: r["sec"])
     hi = min(hi_runs, key=lambda r: r["sec"])
     speedup = lo["sec"] / hi["sec"]
@@ -122,11 +133,35 @@ def main() -> None:
         "all_lo": [r["sec"] for r in lo_runs],
         "all_hi": [r["sec"] for r in hi_runs],
     }
+    if ladder:
+        summary["ladder"] = {str(r["cpus"]): r["sec"] for r in ladder}
     print(json.dumps(summary))
     # persisted so bench.py can embed the scaling evidence in the
     # driver-facing JSON line (BENCH_r{N}.json)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
+
+    if ladder:
+        lad_txt = " ".join(f"local[{r['cpus']}] {r['sec']}s" for r in ladder)
+        pair_eff = []
+        for a, b in zip(ladder, ladder[1:]):
+            e = (a["sec"] / b["sec"]) / (b["cpus"] / a["cpus"])
+            pair_eff.append(f"{a['cpus']}→{b['cpus']} {e:.2f}")
+        ladder_txt = (
+            f"The measured slot ladder at {n_rows:,} files (min-of-3 per "
+            f"fresh JVM, THIS run): {lad_txt} — pairwise efficiency "
+            f"{', '.join(pair_eff)}.  Each ladder rung is a single JVM, "
+            f"so individual rungs carry residual host noise (a pairwise "
+            f"value > 1 means the LOWER rung was depressed by a "
+            f"contention burst); the interleaved multi-rep A/B protocol "
+            f"below is the noise-robust instrument.  The shape is"
+        )
+    else:
+        ladder_txt = (
+            "The slot ladder was not re-measured in this run (set "
+            "SCALING_LADDER=2,4,8,16,32); the window choice relies on "
+            "the last measured ladder in git history"
+        )
 
     md = f"""# BENCH/BASELINE — measured numbers
 
@@ -146,14 +181,12 @@ Why {N_LO}→{N_HI}: since the stage fusion a task slot costs ~1.1 cores (one
 Python worker computing; the JVM thread that feeds it Arrow batches
 measures ~7% of the Python CPU), and this VM is 16 physical cores +
 SMT (a pure-CPU busy-loop scales 1/8/16/32 procs at 64/459/902/1319
-M iters/s — 16→32 adds only 1.46×).  The measured slot ladder at
-{n_rows:,} files: local[2]/4/8/16/32 = 81.8/43.8/24.2/18.5/67.9 s —
-pairwise efficiency 0.93/0.91/0.65/collapse: clean scaling until the
-slot count reaches the physical-core budget, SMT-limited at 16,
-oversubscription thrash at 32.  On a multi-executor cluster the same
-sizing rule is `spark.executor.cores ≤ physical_cores/2`; N and 4N
-executors at that per-executor size is exactly the {N_LO}→{N_HI} window
-measured here.  The host also shows bursty invisible CPU contention
+M iters/s — 16→32 adds only 1.46×).  {ladder_txt}: clean scaling
+until the slot count reaches the physical-core budget, SMT-limited
+past 8, oversubscription thrash at 32.  On a multi-executor cluster
+the same sizing rule is `spark.executor.cores ≤ physical_cores/2`;
+N and 4N executors at that per-executor size is exactly the
+{N_LO}→{N_HI} window measured here.  The host also shows bursty invisible CPU contention
 (Firecracker steal; identical runs measured 24s and 121s an hour
 apart), so levels are interleaved A/B/… in fresh JVMs and the
 per-level minimum of {REPS} is reported.
