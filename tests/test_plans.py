@@ -97,3 +97,25 @@ def test_ann_exchange_carries_ids_only(spark):
     banded = lsh_bucketed(v, dim=4, n_planes=2, n_tables=3)
     assert banded.columns == ["id", "table", "bucket"]
     assert not any("array" in f.dataType.simpleString() for f in banded.schema)
+
+
+def test_lsh_signatures_materialized_once(spark):
+    """The signature pandas UDF must execute ONCE per run: both sides
+    of the candidate self-join read the persisted narrow frame
+    (InMemoryTableScan), never recompute the UDF (exchange reuse does
+    not fire across Python-UDF subplans — without the persist the
+    executed plan runs 2 ArrowEvalPython instances)."""
+    from urqt_spark.operators.dedup import minhash_lsh_pairs, simhash_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * j) % 13}" for j in range(12))) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    for df in (
+        minhash_lsh_pairs(docs, threshold=0.3),
+        simhash_neardup_pairs(docs, max_hamming=8, n_bits=128),
+    ):
+        df._jdf.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2  # both join sides cached
+    spark.catalog.clearCache()
