@@ -195,6 +195,21 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, bands=32)
 
 
+def q_minhash_lsh_dedup(spark, sf_dir):
+    from urqt_spark.operators.dedup import minhash_lsh_pairs_preclustered
+
+    # the LSH skew bomb defense under the gate: exact copies (injected
+    # here — every 25th doc duplicated under a shifted id) collapse to
+    # one representative BEFORE banding, so near-dup pairs never pair
+    # copy-with-copy; if the collapse regressed, the 1.0-jaccard
+    # copy pairs would appear and the row count/hash would fail
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    dup = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return minhash_lsh_pairs_preclustered(d.unionByName(dup), threshold=0.5)
+
+
 def q_simhash_neardup(spark, sf_dir):
     from urqt_spark.operators.dedup import simhash_neardup_pairs
 
@@ -635,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -796,6 +812,29 @@ def oracle_sql() -> dict[str, str]:
                        i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
                      )) AS shingles
               FROM documents),
+            ex AS (SELECT id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) AS jaccard
+            FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+            HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) >= 0.5""",
+        # skew-proof variant: exact copies collapse to min-id reps
+        # BEFORE pairing — the oracle computes all-pairs Jaccard over
+        # the distinct-content representatives of the dup-injected set
+        "minhash_lsh_dedup": """
+            WITH alldocs AS (
+              SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id + 100000 AS BIGINT), text
+              FROM documents WHERE doc_id % 25 = 0),
+            reps AS (SELECT MIN(id) AS id, text FROM alldocs GROUP BY text),
+            sh AS (
+              SELECT id,
+                     list_distinct(list_transform(
+                       range(GREATEST(len(string_split(text,' ')) - 2, 0)),
+                       i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
+                     )) AS shingles
+              FROM reps),
             ex AS (SELECT id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
             SELECT a.id AS id_a, b.id AS id_b,
                    ROUND(CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) AS jaccard

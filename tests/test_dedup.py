@@ -69,6 +69,36 @@ def test_minhash_matches_exact_jaccard(docs):
         assert exact[k] == v  # candidates verified with the same exact jaccard
 
 
+def test_minhash_precluster_defuses_exact_dup_skew(spark):
+    """The LSH skew bomb: k exact copies land in the SAME bucket of
+    every band → k²/2 candidates.  The preclustered variant collapses
+    them to one representative first, so copy-with-copy pairs never
+    exist and the near-dup relation is between distinct contents."""
+    from urqt_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_preclustered,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("theta", "changed")
+    rows = [(i, base) for i in range(50)]  # 50 exact copies (the bomb)
+    rows += [(100, near), (101, "totally different words about other things")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs_preclustered(df, threshold=0.3).collect()
+    }
+    # exactly ONE pair: representative(copies)=0 vs the near doc —
+    # none of the 50*49/2 copy-copy pairs exist
+    assert set(got) == {(0, 100)}
+    assert 0.3 <= got[(0, 100)] < 1.0
+    # the raw operator on the same input would emit the quadratic
+    # copy-copy block (1.0-jaccard pairs) — that's what's being defused
+    raw = minhash_lsh_pairs(df, threshold=0.3)
+    assert raw.filter("jaccard = 1.0").count() == 50 * 49 // 2
+
+
 def test_simhash_neardups(spark):
     # SimHash needs long documents for near-dup hamming to be small: a
     # 1-token edit flips each fingerprint bit only when that bit's

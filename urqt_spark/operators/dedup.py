@@ -339,6 +339,44 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_preclustered(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-proof near-dup pairs: EXACT duplicates are collapsed to one
+    representative (min id per distinct content) BEFORE LSH banding.
+
+    The LSH skew bomb at web scale: k byte-identical copies of one
+    document (boilerplate, licenses, vendored files — at 10^12 files k
+    reaches millions) land in the SAME bucket of EVERY band, producing
+    k·(k-1)/2 candidate pairs per band — a quadratic hot key that one
+    straggler task inherits.  Collapsing exact groups first (a linear
+    hash groupBy) bounds every bucket by the number of DISTINCT
+    near-dup documents; identical-copy multiplicity lives in
+    :func:`exact_dedup_groups`'s ``n_copies``, not in the pair list.
+
+    Output contract: near-dup pairs between representatives only —
+    the same (id_a, id_b, jaccard) columns as :func:`minhash_lsh_pairs`.
+    """
+    reps = exact_dedup(df, text_col=text_col, id_col=id_col)
+    return minhash_lsh_pairs(
+        reps,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
