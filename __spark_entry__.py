@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from urqt_spark.functions.scrub import scrub_spark_col, scrub_sql
+from urqt_spark.functions.text import winnow_oracle_sql
 from urqt_spark.operators.grouped_stats import length_stats_oracle_sql
 from urqt_spark.plans.entry_queries import (
     WORD_Q_SQL,
@@ -120,6 +121,61 @@ def q_langid_markers(spark, sf_dir):
         pred.alias("lang_pred"),
         *[scores[lang].cast("long").alias(f"score_{lang}") for lang in _MARKER_ORDER],
     )
+
+
+BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """Tokenizer-proxy counts, JVM-side regexp_count only: whitespace
+    tokens plus BPE-ish subword tokens (letter runs | digit runs |
+    single symbols — the cheap deterministic stand-in for a trained
+    tokenizer's token count when budgeting a 100-TB corpus)."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(t, r"\s+")).cast("long").alias("n_ws"),
+        F.regexp_count(t, F.lit(BPE_PAT)).cast("long").alias("n_bpe"),
+        F.regexp_count(t, F.lit(r"[A-Za-z]+")).cast("long").alias("n_alpha_runs"),
+        F.regexp_count(t, F.lit(r"[0-9]+")).cast("long").alias("n_digit_runs"),
+        F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("long").alias("n_symbols"),
+    )
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Vocabulary building: corpus-wide word-bigram counts (every
+    occurrence, not per-doc distinct) → deterministic top-50.  Shape at
+    scale: explode → hash groupBy with map-side partial aggregation →
+    TakeOrdered of 50 winners; ties broken by the ngram itself."""
+    words = F.split(F.col("text"), " ")
+    n_big = F.greatest(F.size(words) - F.lit(1), F.lit(0))
+    bigrams = F.when(
+        n_big >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_big - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), F.lit(2))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(50)
+    )
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (functions/text.py
+    winnow_df) — selection + digest entirely in Catalyst expressions,
+    oracled against the same integer math in DuckDB."""
+    from urqt_spark.functions.text import winnow_df
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return winnow_df(d).select("doc_id", "n_grams", "n_fps", "fp_digest")
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -645,6 +701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_heuristics": q_quality_heuristics,
         "langid_markers": q_langid_markers,
         "doc_fingerprint": q_doc_fingerprint,
+        "bpe_token_stats": q_bpe_token_stats,
+        "top_ngrams": q_top_ngrams,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "scrub_injected": q_scrub_injected,
         "sampled_composition": q_sampled_composition,
         "exact_dedup": q_exact_dedup,
@@ -774,6 +833,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    sha256({scrub_inj}) AS scrubbed_sha
             FROM documents""",
+        "bpe_token_stats": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws,
+                   CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS BIGINT) AS n_bpe,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_symbols
+            FROM documents""",
+        "top_ngrams": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            b AS (SELECT unnest(list_transform(
+                    range(GREATEST(len(ws) - 1, 0)),
+                    i -> array_to_string(ws[i+1:i+2], ' '))) AS ngram
+                  FROM w)
+            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY ngram
+            ORDER BY n DESC, ngram ASC LIMIT 50""",
+        "winnow_fingerprints": winnow_oracle_sql("documents"),
         "sampled_composition": f"""
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
                    ROUND(SUM(list_sum(list_transform(string_split(text, ' '),

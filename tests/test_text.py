@@ -41,3 +41,39 @@ def test_text_columns(spark):
     df2 = spark.createDataFrame([(0, "THE  quick   brown fox")], ["id", "t"])
     fp2 = df2.select(rolling_fingerprint(F.col("t")).alias("fp")).head().fp
     assert fp2 == out.loc[0, "fp"]
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's core property: any shared substring of length
+    >= k + w - 1 (= 11 at the defaults) yields at least one SHARED
+    fingerprint between the two documents; unrelated docs share none."""
+    from urqt_spark.functions.text import winnow_df
+
+    shared = "the shared block of text is right here and long"
+    rows = [
+        (0, "prefix one " + shared + " suffix alpha"),
+        (1, "other start " + shared + " different end"),
+        (2, "completely unrelated words with no overlap at all xyz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: set(r.fps)
+        for r in winnow_df(df, with_fps=True).select("doc_id", "fps").collect()
+    }
+    assert got[0] & got[1], "shared substring produced no shared fingerprint"
+    assert not (got[0] & got[2]) and not (got[1] & got[2])
+
+
+def test_winnowing_empty_and_short_docs(spark):
+    from urqt_spark.functions.text import winnow_df
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "short"), (2, "exactly8!")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_fps, r.fp_digest)
+        for r in winnow_df(df).collect()
+    }
+    assert got[0] == (0, 0, 0)  # empty
+    assert got[1] == (0, 0, 0)  # shorter than k
+    assert got[2][0] == 2 and got[2][1] >= 0  # 9 chars -> 2 grams, < w windows

@@ -75,6 +75,126 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# winnowing constants: polynomial base/modulus for the k-gram rolling
+# hash — both engines evaluate the SAME Σ code·B^j mod M integer math,
+# so fingerprints are bit-identical engine-to-engine
+WINNOW_B = 131
+WINNOW_M = 1_000_000_007
+
+
+def winnow_df(df, text_col: str = "text", k: int = 8, w: int = 4, with_fps: bool = False):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03) computed ENTIRELY in Catalyst expressions — no UDF:
+
+    1. hash every character k-gram with a positional polynomial
+       (codepoint · B^j summed mod M — exact int64 math);
+    2. slide a w-gram window; in each window select the RIGHTMOST
+       position achieving the window minimum (the classic rule);
+    3. fingerprint = the distinct selected positions' hashes.
+
+    Adds columns ``n_grams``, ``n_fps`` (selected count) and
+    ``fp_digest`` (order-insensitive XOR of selected hashes).  The
+    guarantee: any shared substring of length ≥ k + w - 1 between two
+    documents yields at least one shared fingerprint — the rolling-
+    hash dedup/attribution primitive (MOSS-style) in one narrow
+    projection chain.
+
+    Staging note: the codes / grams / selection arrays are
+    materialized as intermediate columns in SEPARATE projections —
+    referencing a `transform(...)` lambda result from inside another
+    lambda would re-evaluate it per element (no common-subexpression
+    elimination inside HOFs), turning O(n·k) into O(n²·k).
+    """
+    from functools import reduce
+
+    powers = [pow(WINNOW_B, j, WINNOW_M) for j in range(k)]
+    codes = F.transform(
+        F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long")
+    )
+    df = df.withColumn("_wn_codes", codes)
+    n_grams = F.greatest(F.size("_wn_codes") - F.lit(k - 1), F.lit(0))
+
+    def gram_hash(i):
+        terms = [
+            F.element_at(F.col("_wn_codes"), (i + F.lit(j)).cast("int"))
+            * F.lit(powers[j])
+            for j in range(k)
+        ]
+        return reduce(lambda a, b: a + b, terms) % F.lit(WINNOW_M)
+
+    grams = F.when(
+        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+    ).otherwise(F.array().cast("array<bigint>"))
+    df = df.withColumn("_wn_grams", grams)
+
+    n_wins = F.greatest(F.size("_wn_grams") - F.lit(w - 1), F.lit(0))
+
+    def sel_pos(s):
+        win = F.slice(F.col("_wn_grams"), s.cast("int"), w)
+        # rightmost min: first position of the min in the REVERSED window
+        return s + F.lit(w) - F.array_position(F.reverse(win), F.array_min(win))
+
+    sel = F.when(
+        n_wins >= 1,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n_wins), sel_pos)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    df = df.withColumn("_wn_sel", sel)
+
+    sel_hashes = F.transform(
+        F.col("_wn_sel"), lambda p: F.element_at(F.col("_wn_grams"), p.cast("int"))
+    )
+    digest = F.aggregate(
+        sel_hashes, F.lit(0).cast("long"), lambda a, v: a.bitwiseXOR(v)
+    )
+    out = (
+        df.withColumn("n_grams", F.size("_wn_grams").cast("long"))
+        .withColumn("n_fps", F.size("_wn_sel").cast("long"))
+        .withColumn("fp_digest", digest)
+    )
+    if with_fps:
+        # the fingerprint SET — the join key for substring-level dup
+        # detection (explode + equi-join on fp, like the LSH buckets)
+        out = out.withColumn("fps", F.array_distinct(sel_hashes))
+    return out.drop("_wn_codes", "_wn_grams", "_wn_sel")
+
+
+def winnow_oracle_sql(docs_rel: str = "documents", k: int = 8, w: int = 4) -> str:
+    """DuckDB replica of :func:`winnow_df` — same polynomial, same
+    rightmost-min window rule, same XOR digest.  Codes are
+    materialized once per doc (list indexing is O(1); substr-per-term
+    would make gram hashing O(n²·k))."""
+    powers = [pow(WINNOW_B, j, WINNOW_M) for j in range(k)]
+    terms = " + ".join(f"codes[i + {j}] * {p}" for j, p in enumerate(powers))
+    return f"""
+        WITH g AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS codes
+          FROM {docs_rel}),
+        h AS (
+          SELECT doc_id, GREATEST(len(codes) - {k - 1}, 0) AS n_grams,
+                 CASE WHEN len(codes) >= {k} THEN
+                   list_transform(range(1, len(codes) - {k - 1} + 1),
+                     i -> ({terms}) % {WINNOW_M})
+                 ELSE CAST([] AS BIGINT[]) END AS grams
+          FROM g),
+        s AS (
+          SELECT doc_id, n_grams, grams,
+                 CASE WHEN len(grams) >= {w} THEN
+                   list_distinct(list_transform(range(1, len(grams) - {w - 1} + 1),
+                     s -> s + {w} - list_position(
+                            list_reverse(grams[s : s + {w - 1}]),
+                            list_min(grams[s : s + {w - 1}]))))
+                 ELSE CAST([] AS BIGINT[]) END AS sel
+          FROM h)
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(len(sel) AS BIGINT) AS n_fps,
+               COALESCE(list_aggregate(
+                 list_transform(sel, p -> grams[CAST(p AS INT)]), 'bit_xor'),
+                 0) AS fp_digest
+        FROM s"""
+
+
 def rolling_fingerprint(text: Column, window: int = 64) -> Column:
     """Content-defined document fingerprint: xxhash64 of the
     whitespace-normalized lowercased text (stable under formatting
