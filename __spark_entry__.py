@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from urqt_spark.functions.scrub import scrub_spark_col, scrub_sql
-from urqt_spark.functions.text import winnow_oracle_sql
+from urqt_spark.functions.text import winnow_clone_pairs_oracle_sql, winnow_oracle_sql
 from urqt_spark.operators.grouped_stats import length_stats_oracle_sql
 from urqt_spark.plans.entry_queries import (
     WORD_Q_SQL,
@@ -176,6 +176,22 @@ def q_winnow_fingerprints(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     return winnow_df(d).select("doc_id", "n_grams", "n_fps", "fp_digest")
+
+
+WCP_K, WCP_W, WCP_MIN = 16, 8, 4  # >=23-char shared region guaranteed caught
+
+
+def q_winnow_clone_pairs(spark, sf_dir):
+    """MOSS-style substring clone pairs: docs sharing >= 4 winnowing
+    fingerprints at k=16/w=8 (functions/text.py winnow_clone_pairs) —
+    only (id, fp) longs cross the candidate shuffle.  k=8 grams are
+    ubiquitous on a small-vocabulary corpus (~all pairs match); 16-char
+    grams make sharing a real clone signal."""
+    from urqt_spark.functions.text import winnow_clone_pairs
+
+    return winnow_clone_pairs(
+        _docs(spark, sf_dir), k=WCP_K, w=WCP_W, min_shared=WCP_MIN
+    )
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -704,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "top_ngrams": q_top_ngrams,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_clone_pairs": q_winnow_clone_pairs,
         "scrub_injected": q_scrub_injected,
         "sampled_composition": q_sampled_composition,
         "exact_dedup": q_exact_dedup,
@@ -851,6 +868,9 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY ngram
             ORDER BY n DESC, ngram ASC LIMIT 50""",
         "winnow_fingerprints": winnow_oracle_sql("documents"),
+        "winnow_clone_pairs": winnow_clone_pairs_oracle_sql(
+            "documents", WCP_K, WCP_W, WCP_MIN
+        ),
         "sampled_composition": f"""
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
                    ROUND(SUM(list_sum(list_transform(string_split(text, ' '),

@@ -82,6 +82,16 @@ WINNOW_B = 131
 WINNOW_M = 1_000_000_007
 
 
+def _let(value: Column, body) -> Column:
+    """Catalyst let-binding: evaluate ``value`` ONCE and bind it as the
+    lambda variable of a transform over a singleton array.  Lambda
+    variables are bound VALUES — referencing one n times costs n array
+    reads, whereas referencing a plain expression n times re-evaluates
+    it n times (no common-subexpression elimination inside HOFs, and
+    CollapseProject re-inlines withColumn aliases into every use)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def winnow_df(df, text_col: str = "text", k: int = 8, w: int = 4, with_fps: bool = False):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03) computed ENTIRELY in Catalyst expressions — no UDF:
@@ -93,80 +103,88 @@ def winnow_df(df, text_col: str = "text", k: int = 8, w: int = 4, with_fps: bool
     3. fingerprint = the distinct selected positions' hashes.
 
     Adds columns ``n_grams``, ``n_fps`` (selected count) and
-    ``fp_digest`` (order-insensitive XOR of selected hashes).  The
-    guarantee: any shared substring of length ≥ k + w - 1 between two
-    documents yields at least one shared fingerprint — the rolling-
-    hash dedup/attribution primitive (MOSS-style) in one narrow
-    projection chain.
+    ``fp_digest`` (order-insensitive XOR of selected hashes); with
+    ``with_fps`` also the fingerprint set itself (the join key for
+    substring-level dup detection).  The guarantee: any shared
+    substring of length ≥ k + w - 1 between two documents yields at
+    least one shared fingerprint — the rolling-hash dedup/attribution
+    primitive (MOSS-style) in one narrow projection.
 
-    Staging note: the codes / grams / selection arrays are
-    materialized as intermediate columns in SEPARATE projections —
-    referencing a `transform(...)` lambda result from inside another
-    lambda would re-evaluate it per element (no common-subexpression
-    elimination inside HOFs), turning O(n·k) into O(n²·k).
+    The codes → grams → selection chain is staged with :func:`_let`
+    bindings — the first version used withColumn staging, which
+    CollapseProject re-inlined into every HOF lambda use, turning
+    O(n·k) into O(n²·k) (measured ~80 ms per 300-char doc).
     """
     from functools import reduce
 
     powers = [pow(WINNOW_B, j, WINNOW_M) for j in range(k)]
-    codes = F.transform(
-        F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long")
-    )
-    df = df.withColumn("_wn_codes", codes)
-    n_grams = F.greatest(F.size("_wn_codes") - F.lit(k - 1), F.lit(0))
+    empty = F.array().cast("array<bigint>")
 
-    def gram_hash(i):
-        terms = [
-            F.element_at(F.col("_wn_codes"), (i + F.lit(j)).cast("int"))
-            * F.lit(powers[j])
-            for j in range(k)
-        ]
-        return reduce(lambda a, b: a + b, terms) % F.lit(WINNOW_M)
+    def with_codes(codes):
+        n_grams = F.greatest(F.size(codes) - F.lit(k - 1), F.lit(0))
 
-    grams = F.when(
-        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
-    ).otherwise(F.array().cast("array<bigint>"))
-    df = df.withColumn("_wn_grams", grams)
+        def gram_hash(i):
+            terms = [
+                F.element_at(codes, (i + F.lit(j)).cast("int")) * F.lit(powers[j])
+                for j in range(k)
+            ]
+            return reduce(lambda a, b: a + b, terms) % F.lit(WINNOW_M)
 
-    n_wins = F.greatest(F.size("_wn_grams") - F.lit(w - 1), F.lit(0))
+        grams = F.when(
+            n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+        ).otherwise(empty)
 
-    def sel_pos(s):
-        win = F.slice(F.col("_wn_grams"), s.cast("int"), w)
-        # rightmost min: first position of the min in the REVERSED window
-        return s + F.lit(w) - F.array_position(F.reverse(win), F.array_min(win))
+        def with_grams(grams):
+            n_wins = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(0))
 
-    sel = F.when(
-        n_wins >= 1,
-        F.array_distinct(F.transform(F.sequence(F.lit(1), n_wins), sel_pos)),
-    ).otherwise(F.array().cast("array<bigint>"))
-    df = df.withColumn("_wn_sel", sel)
+            def sel_pos(s):
+                win = F.slice(grams, s.cast("int"), w)
+                # rightmost min: first position of the min in the
+                # REVERSED window
+                return (
+                    s + F.lit(w) - F.array_position(F.reverse(win), F.array_min(win))
+                )
 
-    sel_hashes = F.transform(
-        F.col("_wn_sel"), lambda p: F.element_at(F.col("_wn_grams"), p.cast("int"))
-    )
-    digest = F.aggregate(
-        sel_hashes, F.lit(0).cast("long"), lambda a, v: a.bitwiseXOR(v)
-    )
-    out = (
-        df.withColumn("n_grams", F.size("_wn_grams").cast("long"))
-        .withColumn("n_fps", F.size("_wn_sel").cast("long"))
-        .withColumn("fp_digest", digest)
-    )
-    if with_fps:
-        # the fingerprint SET — the join key for substring-level dup
-        # detection (explode + equi-join on fp, like the LSH buckets)
-        out = out.withColumn("fps", F.array_distinct(sel_hashes))
-    return out.drop("_wn_codes", "_wn_grams", "_wn_sel")
+            sel = F.when(
+                n_wins >= 1,
+                F.array_distinct(F.transform(F.sequence(F.lit(1), n_wins), sel_pos)),
+            ).otherwise(empty)
+
+            def with_sel(sel):
+                sel_hashes = F.transform(
+                    sel, lambda p: F.element_at(grams, p.cast("int"))
+                )
+                digest = F.aggregate(
+                    sel_hashes, F.lit(0).cast("long"), lambda a, v: a.bitwiseXOR(v)
+                )
+                fields = [
+                    F.size(grams).cast("long").alias("n_grams"),
+                    F.size(sel).cast("long").alias("n_fps"),
+                    digest.alias("fp_digest"),
+                ]
+                if with_fps:
+                    fields.append(F.array_distinct(sel_hashes).alias("fps"))
+                return F.struct(*fields)
+
+            return _let(sel, with_sel)
+
+        return _let(grams, with_grams)
+
+    codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long"))
+    # inline(array(struct)) expands the struct into top-level columns
+    # from ONE evaluation — getField-per-column would re-evaluate the
+    # whole chain per consumer (same pitfall operators/fused.py solved)
+    return df.select("*", F.inline(F.array(_let(codes, with_codes))))
 
 
-def winnow_oracle_sql(docs_rel: str = "documents", k: int = 8, w: int = 4) -> str:
-    """DuckDB replica of :func:`winnow_df` — same polynomial, same
-    rightmost-min window rule, same XOR digest.  Codes are
-    materialized once per doc (list indexing is O(1); substr-per-term
-    would make gram hashing O(n²·k))."""
+def _winnow_cte(docs_rel: str, k: int, w: int) -> str:
+    """Shared DuckDB CTE chain ending in ``s(doc_id, n_grams, grams,
+    sel)`` — the fingerprint derivation both winnow oracles build on.
+    Codes are materialized once per doc (list indexing is O(1);
+    substr-per-term would make gram hashing O(n²·k))."""
     powers = [pow(WINNOW_B, j, WINNOW_M) for j in range(k)]
     terms = " + ".join(f"codes[i + {j}] * {p}" for j, p in enumerate(powers))
-    return f"""
-        WITH g AS (
+    return f"""g AS (
           SELECT CAST(doc_id AS BIGINT) AS doc_id,
                  list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS codes
           FROM {docs_rel}),
@@ -185,7 +203,14 @@ def winnow_oracle_sql(docs_rel: str = "documents", k: int = 8, w: int = 4) -> st
                             list_reverse(grams[s : s + {w - 1}]),
                             list_min(grams[s : s + {w - 1}]))))
                  ELSE CAST([] AS BIGINT[]) END AS sel
-          FROM h)
+          FROM h)"""
+
+
+def winnow_oracle_sql(docs_rel: str = "documents", k: int = 8, w: int = 4) -> str:
+    """DuckDB replica of :func:`winnow_df` — same polynomial, same
+    rightmost-min window rule, same XOR digest."""
+    return f"""
+        WITH {_winnow_cte(docs_rel, k, w)}
         SELECT doc_id,
                CAST(n_grams AS BIGINT) AS n_grams,
                CAST(len(sel) AS BIGINT) AS n_fps,
@@ -193,6 +218,62 @@ def winnow_oracle_sql(docs_rel: str = "documents", k: int = 8, w: int = 4) -> st
                  list_transform(sel, p -> grams[CAST(p AS INT)]), 'bit_xor'),
                  0) AS fp_digest
         FROM s"""
+
+
+def winnow_clone_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+):
+    """Substring-level clone pairs (MOSS-style): documents sharing at
+    least ``min_shared`` winnowing fingerprints.  The detector behind
+    code-clone / license-boilerplate discovery on source corpora —
+    catches SHARED REGIONS that whole-document near-dup (minhash over
+    word shingles) dilutes away.
+
+    Scale shape: fingerprints explode to (id, fp) ONLY — two longs per
+    row through the candidate shuffle, the same exchange-hygiene rule
+    as the LSH operators; the equi-join on fp is linear in the number
+    of true sharings.
+    """
+    fps = (
+        winnow_df(
+            df.select(F.col(id_col).cast("long").alias("id"), text_col),
+            text_col=text_col,
+            k=k,
+            w=w,
+            with_fps=True,
+        )
+        .select("id", F.explode("fps").alias("fp"))
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_clone_pairs_oracle_sql(
+    docs_rel: str = "documents", k: int = 8, w: int = 4, min_shared: int = 2
+) -> str:
+    """DuckDB replica: same fingerprint sets, unnest + equi-join."""
+    return f"""
+        WITH {_winnow_cte(docs_rel, k, w)},
+        fsets AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(sel, p -> grams[CAST(p AS INT)])) AS fps
+          FROM s),
+        ex AS (SELECT id, unnest(fps) AS fp FROM fsets)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ex a JOIN ex b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING COUNT(*) >= {min_shared}"""
 
 
 def rolling_fingerprint(text: Column, window: int = 64) -> Column:
