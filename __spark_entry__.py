@@ -704,6 +704,54 @@ def _ivf_oracle_sql() -> str:
         ORDER BY cosine DESC, vec_id ASC LIMIT {IVF_K}"""
 
 
+IVF_ND_THRESHOLD, IVF_ND_ASSIGN = 0.4, 2
+
+
+def q_ivf_neardup(spark, sf_dir):
+    """IVF cell-local near-dup pairs (operators/similarity.py
+    ivf_neardup_pairs): top-2 cell multi-assignment → same-cell
+    candidates → exact-cosine verify.  The oracle replicates the
+    assignment + pairing + scoring from the same centroid literals."""
+    from urqt_spark.operators.similarity import ivf_neardup_pairs
+
+    cents, _ = _ivf_parts(sf_dir)
+    return ivf_neardup_pairs(
+        _emb(spark, sf_dir), cents, threshold=IVF_ND_THRESHOLD, assign=IVF_ND_ASSIGN
+    )
+
+
+def _ivf_neardup_oracle_sql() -> str:
+    sf_dir = os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
+    cents, _ = _ivf_parts(sf_dir)
+    cent_rows = ",\n              ".join(
+        f"({cid}, [{', '.join(repr(v) for v in c)}])" for cid, c in enumerate(cents)
+    )
+    return f"""
+        WITH cent(cid, c) AS (VALUES {cent_rows}),
+        e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        d AS (SELECT e.id, cent.cid,
+                     list_sum(list_transform(range(len(e.v)),
+                       i -> (e.v[i+1] - cent.c[i+1]) * (e.v[i+1] - cent.c[i+1]))) AS dist
+              FROM e CROSS JOIN cent),
+        a AS (SELECT id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+              FROM d),
+        cells AS (SELECT id, cid FROM a WHERE rn <= {IVF_ND_ASSIGN}),
+        cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                 FROM cells x JOIN cells y ON x.cid = y.cid AND x.id < y.id),
+        vv AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        s AS (SELECT c.id_a, c.id_b,
+                     list_sum(list_transform(range(len(p.v)),
+                       i -> p.v[i+1] * q.v[i+1])) / (p.nrm * q.nrm) AS cos
+              FROM cand c
+              JOIN vv p ON p.id = c.id_a
+              JOIN vv q ON q.id = c.id_b)
+        SELECT id_a, id_b, ROUND(cos, 4) AS cosine
+        FROM s WHERE ROUND(cos, 4) >= {IVF_ND_THRESHOLD}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship smoke: full quality-filter pipeline stats joined with a
     trim-kernel run over the sf0.001 documents table."""
@@ -744,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_filter": q_streaming_filter,
         "multimodal_features": q_multimodal_features,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_neardup": q_ivf_neardup,
         "stateful_dedup": q_stateful_dedup,
         "grouped_length_stats": q_grouped_length_stats,
         "frame_sample": q_frame_sample,
@@ -1110,6 +1159,13 @@ def oracle_sql() -> dict[str, str]:
         import sys
 
         print(f"[oracle_sql] skipping ivf_ann_topk oracle: {e}", file=sys.stderr)
+    try:
+        # IVF near-dup: same centroid literals, cell-pair replication
+        out["ivf_neardup"] = _ivf_neardup_oracle_sql()
+    except Exception as e:  # pragma: no cover - defensive
+        import sys
+
+        print(f"[oracle_sql] skipping ivf_neardup oracle: {e}", file=sys.stderr)
     try:
         # EP2: pass-1 composition literals rebuilt from the same code
         from urqt_spark.plans.entry_queries import trim_ep2_sql

@@ -317,3 +317,45 @@ def test_ivf_topk_recall_and_no_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     # the probe set really prunes (2 of 8 cells)
     assert len(probe_clusters(cents, query, 2)) == 2
+
+
+def test_ivf_neardup_recall_on_clusters(spark):
+    """Cell-local candidate generation with top-2 assignment recovers
+    the all-pairs near-dup set on clustered embeddings (pairs inside a
+    tight cluster always co-occur in its cell)."""
+    import numpy as np
+
+    from urqt_spark.operators.similarity import (
+        all_pairs_neardup,
+        ivf_centroids,
+        ivf_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for c in range(4):
+        center = rng.standard_normal(16) * 4
+        for j in range(6):
+            rows.append(
+                (c * 6 + j, (center + rng.standard_normal(16) * 0.05).tolist())
+            )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    import tempfile
+
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/emb.parquet"
+        pd.DataFrame(
+            {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+        ).to_parquet(p, index=False)
+        cents = ivf_centroids(p, n_centroids=4, iters=5)
+    exact = {
+        (r.id_a, r.id_b) for r in all_pairs_neardup(df, threshold=0.99).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in ivf_neardup_pairs(df, cents, threshold=0.99).collect()
+    }
+    assert got <= exact
+    assert len(got) >= 0.9 * len(exact)

@@ -283,6 +283,72 @@ def probe_clusters(
     return [cid for _, cid in d[:n_probe]]
 
 
+def ivf_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    assign: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell) multi-assignment: each vector joins its ``assign``
+    nearest coarse cells (ties by lower cid — matching the oracle's
+    ``ORDER BY dist, cid`` row_number).  Multi-assignment is the
+    standard boundary fix for cell-local pair search: a near-dup pair
+    split across adjacent cells still co-occurs in one of them.
+
+    Exchange hygiene: ONLY (id, cell) leave this frame — vectors are
+    joined back for the exact verify of the (few) candidates."""
+    vec = F.col(vec_col).cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(_sq_dist(vec, c).alias("d"), F.lit(j).alias("cid"))
+            for j, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.array_sort(scored), 1, assign)
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.transform(top, lambda x: x["cid"])).alias("cell"),
+    )
+
+
+def ivf_neardup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    assign: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-dup pairs by IVF cell co-occurrence: candidates are pairs
+    sharing a coarse cell (top-``assign`` assignment), verified with
+    exact cosine — the coarse-quantizer sibling of
+    :func:`lsh_neardup_pairs` (cell-local candidate generation instead
+    of hyperplane buckets; shuffle is linear in rows × assign)."""
+    cells = ivf_cells(df, centroids, assign, vec_col, id_col)
+    a, b = cells.alias("a"), cells.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cand = cand.join(
+        v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    cos = cosine_col(F.col("va"), F.col("vb"))
+    return (
+        cand.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: list[list[float]],
