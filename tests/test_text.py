@@ -77,3 +77,30 @@ def test_winnowing_empty_and_short_docs(spark):
     assert got[0] == (0, 0, 0)  # empty
     assert got[1] == (0, 0, 0)  # shorter than k
     assert got[2][0] == 2 and got[2][1] >= 0  # 9 chars -> 2 grams, < w windows
+
+
+def test_winnow_batch_matches_catalyst(spark):
+    """The NumPy hot path and the pure-Catalyst form compute identical
+    fingerprint sets (the third edge of the verification triangle:
+    catalyst≡duckdb via the oracle, numpy≡catalyst here)."""
+    import random
+
+    from urqt_spark.functions.text import winnow_batch, winnow_df
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 60)))
+        for _ in range(40)
+    ] + ["", "tiny", "exactly_eight_plus", "ünïcødé tēxt with ßpecial chars"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    for k, w in ((8, 4), (16, 8)):
+        cat = {
+            r.doc_id: sorted(r.fps)
+            for r in winnow_df(df, k=k, w=w, with_fps=True)
+            .select("doc_id", "fps")
+            .collect()
+        }
+        npy = winnow_batch(texts, k=k, w=w)
+        for i, fps in enumerate(npy):
+            assert sorted(fps) == cat[i], (k, w, i, texts[i][:40])
