@@ -218,11 +218,15 @@ def main() -> None:
     qs = E.queries()
     for name, passes in (
         ("trim_words", 1),
+        ("trim_ep2", 1),
         ("exact_dedup", 1),
         ("minhash_lsh_pairs", 2),  # heavy queries: min-of-2 (host noise)
+        ("minhash_lsh_dedup", 1),
         ("simhash_neardup", 2),
+        ("winnow_clone_pairs", 2),
         ("ann_topk", 1),
         ("ivf_ann_topk", 2),
+        ("ivf_neardup", 1),
         ("pricing_summary", 1),
         ("order_drop_propagation", 1),
         ("events_sessions", 1),

@@ -1,0 +1,108 @@
+"""spark-submit entry point for the dedup family.
+
+Runs one dedup method over a parquet corpus and writes its result
+table; the operator layer (urqt_spark/operators/dedup.py) does the
+work, this is the packaging around it:
+
+    spark-submit --py-files dist/quality_filter.zip jobs/run_dedup.py \
+        --input /data/docs --output /data/dup_pairs \
+        --method minhash [--threshold 0.8] [--precluster]
+
+Methods:
+
+* ``exact``     — one row per distinct content (keep_id, n_copies)
+* ``minhash``   — near-dup pairs via MinHash+LSH banding; with
+                  ``--precluster`` exact copies collapse to one
+                  representative first (the web-scale skew defense —
+                  ALWAYS use it on raw crawls)
+* ``simhash``   — near-dup pairs via 128-bit SimHash banding
+* ``clones``    — substring-level clone pairs via winnowing
+                  fingerprints (MOSS-style)
+
+Prints ONE JSON stats line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="corpus deduplication")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument(
+        "--method", required=True, choices=["exact", "minhash", "simhash", "clones"]
+    )
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--max-hamming", type=int, default=8)
+    p.add_argument("--min-shared", type=int, default=4)
+    p.add_argument("--precluster", action="store_true")
+    return p.parse_args(argv)
+
+
+def run(spark, args) -> dict:
+    from urqt_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_preclustered,
+        simhash_neardup_pairs,
+    )
+    from urqt_spark.functions.text import winnow_clone_pairs
+
+    df = spark.read.parquet(args.input)
+    if args.method == "exact":
+        out = exact_dedup_groups(df, args.text_col, args.id_col)
+    elif args.method == "minhash":
+        fn = minhash_lsh_pairs_preclustered if args.precluster else minhash_lsh_pairs
+        out = fn(
+            df, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
+        )
+    elif args.method == "simhash":
+        out = simhash_neardup_pairs(
+            df,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            max_hamming=args.max_hamming,
+            n_bits=128,
+        )
+    else:  # clones
+        out = winnow_clone_pairs(
+            df,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            k=16,
+            w=8,
+            min_shared=args.min_shared,
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    return {
+        "method": args.method,
+        "input_rows": df.count(),
+        "output_rows": spark.read.parquet(args.output).count(),
+    }
+
+
+def main(argv=None, spark=None) -> int:
+    args = parse_args(argv)
+    owns = spark is None
+    if owns:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("urqt-dedup").getOrCreate()
+    stats = run(spark, args)
+    print(json.dumps(stats))
+    if owns:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

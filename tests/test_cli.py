@@ -146,3 +146,41 @@ def test_compact_job_by_lang(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(src).select(*cols).collect()}
     b = {tuple(r) for r in spark.read.parquet(dst).select(*cols).collect()}
     assert a == b
+
+
+def test_dedup_job(spark, tmp_path):
+    """spark-submit dedup CLI: exact groups and preclustered minhash
+    pairs over a small corpus with planted duplicates."""
+    import pandas as pd
+
+    from jobs.run_dedup import main as dedup_main
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact dup
+        {"doc_id": 2, "text": base.replace("theta", "edited")},  # near dup
+        {"doc_id": 3, "text": "nothing shared with the others at all"},
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(src, index=False)
+
+    out1 = str(tmp_path / "exact")
+    rc = dedup_main(
+        ["--input", src, "--output", out1, "--method", "exact"], spark=spark
+    )
+    assert rc == 0
+    g = {r.keep_id: r.n_copies for r in spark.read.parquet(out1).collect()}
+    assert g[0] == 2 and g[2] == 1 and g[3] == 1
+
+    out2 = str(tmp_path / "near")
+    rc = dedup_main(
+        [
+            "--input", src, "--output", out2, "--method", "minhash",
+            "--threshold", "0.3", "--precluster",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(out2).collect()}
+    assert pairs == {(0, 2)}  # the exact copy collapsed, near pair found
