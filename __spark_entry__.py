@@ -545,6 +545,40 @@ def q_multimodal_features(spark, sf_dir):
     return image_features(media, fake_decode=True)
 
 
+RESIZE_MAX_DIM = 32
+
+
+def _media_frame(spark, sf_dir):
+    payload = F.encode(F.col("text"), "UTF-8")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Image resize plan under the oracle (operators/multimodal.py
+    resize_plan): stub decode + integer-exact aspect-preserving
+    downscale target + resized-artifact content key, one mapInPandas
+    pass.  Fake dims range 16..79, so max_dim=32 exercises both the
+    no-upscale and the downscale branches."""
+    from urqt_spark.operators.multimodal import resize_plan
+
+    return resize_plan(_media_frame(spark, sf_dir), max_dim=RESIZE_MAX_DIM)
+
+
+def q_audio_energy(spark, sf_dir):
+    """Audio windowed-energy rows (operators/multimodal.py
+    audio_energy_plan): the mapInPandas 1→N row-production pattern,
+    stub decoder, payload dropped before any shuffle."""
+    from urqt_spark.operators.multimodal import audio_energy_plan
+
+    return audio_energy_plan(_media_frame(spark, sf_dir))
+
+
 def q_grouped_length_stats(spark, sf_dir):
     """Grouped-map applyInPandas surface (per-group NumPy batch →
     narrow typed rows): length-distribution skew diagnostics per lang,
@@ -791,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_pipeline": q_quality_filter_pipeline,
         "streaming_filter": q_streaming_filter,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "audio_energy": q_audio_energy,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_neardup": q_ivf_neardup,
         "stateful_dedup": q_stateful_dedup,
@@ -1152,6 +1188,50 @@ def oracle_sql() -> dict[str, str]:
         import sys
 
         print(f"[oracle_sql] skipping simhash_neardup oracle: {e}", file=sys.stderr)
+
+    hx = "0123456789abcdef"
+    out["multimodal_resize"] = f"""
+        WITH h AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id, sha256(text) AS hash
+          FROM documents),
+        d AS (
+          SELECT media_id, hash,
+                 16 + ({_HEXBYTE(1)}) % 64 AS w,
+                 16 + ({_HEXBYTE(3)}) % 64 AS h
+          FROM h),
+        r AS (
+          SELECT media_id, w, h, hash,
+                 CASE WHEN GREATEST(w, h) <= {RESIZE_MAX_DIM} THEN w
+                      ELSE GREATEST(1, (w * {RESIZE_MAX_DIM}) // GREATEST(w, h)) END AS ow,
+                 CASE WHEN GREATEST(w, h) <= {RESIZE_MAX_DIM} THEN h
+                      ELSE GREATEST(1, (h * {RESIZE_MAX_DIM}) // GREATEST(w, h)) END AS oh
+          FROM d)
+        SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+               sha256(hash || ':' || CAST(ow AS VARCHAR) || 'x' || CAST(oh AS VARCHAR))
+                   AS resized_key
+        FROM r"""
+    out["audio_energy"] = f"""
+        WITH h AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id, sha256(text) AS hash,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents),
+        wn AS (
+          SELECT media_id, hash,
+                 LEAST(8, 1 + n_bytes // 128) AS n_windows
+          FROM h),
+        e AS (
+          SELECT media_id,
+                 CAST(unnest(generate_series(0, n_windows - 1)) AS INT) AS window_idx,
+                 hash
+          FROM wn)
+        SELECT media_id, window_idx,
+               ROUND((
+                 (strpos('{hx}', substr(hash, 2 * ((3 + window_idx) % 32) + 1, 1)) - 1) * 16
+                 + (strpos('{hx}', substr(hash, 2 * ((3 + window_idx) % 32) + 2, 1)) - 1)
+               ) / 255.0, 4) AS energy
+        FROM e"""
+
     try:
         # IVF: same centroid/query/probe literals as the Spark plan
         out["ivf_ann_topk"] = _ivf_oracle_sql()

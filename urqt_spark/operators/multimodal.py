@@ -82,6 +82,94 @@ def image_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     return df.mapInPandas(gen, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, out_width int, out_height int, "
+    "resized_key string"
+)
+
+
+def resize_plan(df: DataFrame, max_dim: int = 32, fake_decode: bool = True) -> DataFrame:
+    """Image resize *plan*: decode (stub) + aspect-preserving downscale
+    target + the content address of the would-be resized artifact, in
+    ONE mapInPandas pass — the payload never re-crosses a shuffle
+    between decode and resize (the rule that matters at 100 TB; a real
+    codec slots into :func:`decode_image` unchanged).
+
+    Integer-exact sizing: no upscale; otherwise
+    ``out = (dim * max_dim) // max(width, height)`` with a floor of 1 —
+    replicated digit-for-digit by the DuckDB oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            w_l, h_l, ow_l, oh_l, key_l = [], [], [], [], []
+            for p in b["payload"]:
+                w, h, _ = decode_image(p, fake=fake_decode)
+                m = max(w, h)
+                if m <= max_dim:
+                    ow, oh = w, h
+                else:
+                    ow = max(1, (w * max_dim) // m)
+                    oh = max(1, (h * max_dim) // m)
+                sha = hashlib.sha256(p).hexdigest()
+                key = hashlib.sha256(f"{sha}:{ow}x{oh}".encode()).hexdigest()
+                w_l.append(w), h_l.append(h), ow_l.append(ow), oh_l.append(oh)
+                key_l.append(key)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].astype("int64"),
+                    "width": np.array(w_l, dtype=np.int32),
+                    "height": np.array(h_l, dtype=np.int32),
+                    "out_width": np.array(ow_l, dtype=np.int32),
+                    "out_height": np.array(oh_l, dtype=np.int32),
+                    "resized_key": key_l,
+                }
+            )
+
+    return df.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = "media_id long, window_idx int, energy double"
+
+AE_WINDOW_BYTES = 128
+AE_MAX_WINDOWS = 8
+
+
+def decode_audio_energy(payload: bytes, fake: bool = False) -> list[float]:
+    """STUB: real decode needs an audio codec (not in this container).
+    The fake decoder derives one RMS-like energy per fixed-size window
+    from the payload digest — deterministic, schema-true."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires an audio codec library; "
+            "run with fake=True for the deterministic test decoder"
+        )
+    h = hashlib.sha256(payload).digest()
+    n_windows = min(AE_MAX_WINDOWS, 1 + len(payload) // AE_WINDOW_BYTES)
+    return [round(h[(3 + w) % 32] / 255.0, 4) for w in range(n_windows)]
+
+
+def audio_energy_plan(df: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Audio windowed-energy rows via mapInPandas — the 1→N row
+    production pattern a real resampler drives (decode once, emit one
+    narrow row per analysis window, drop the payload)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, widx, eng = [], [], []
+            for mid, p in zip(b["media_id"], b["payload"]):
+                for w, e in enumerate(decode_audio_energy(p, fake=fake_decode)):
+                    ids.append(int(mid)), widx.append(w), eng.append(e)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(ids, dtype=np.int64),
+                    "window_idx": np.array(widx, dtype=np.int32),
+                    "energy": np.array(eng, dtype=np.float64),
+                }
+            )
+
+    return df.mapInPandas(gen, AUDIO_ENERGY_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 30, frame_bytes: int = 4096
 ) -> DataFrame:
