@@ -525,6 +525,75 @@ def q_streaming_filter(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_window_counts(spark, sf_dir):
+    """Watermarked event-time windowed aggregation under the oracle
+    (the stateful-streaming windowing surface): events replayed as 4
+    time-ordered files, one per micro-batch; 1-day tumbling windows
+    with a 1-day watermark in APPEND mode — only FINALIZED windows
+    (window end ≤ final watermark = max event time − 1 day) reach the
+    sink; the trailing windows are correctly withheld.  The oracle
+    derives the same finalization cutoff relationally from the table's
+    own max(ts)."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time
+
+    import pandas as pd
+
+    root = tempfile.mkdtemp(prefix="entry_swin_")
+    try:
+        in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+        _os.makedirs(in_dir)
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+            ["ts", "event_id"]
+        )
+        n, now = len(ev), time.time()
+        for i in range(4):
+            part = ev.iloc[i * n // 4 : (i + 1) * n // 4]
+            p = f"{in_dir}/part{i}.parquet"
+            part.to_parquet(p, index=False)
+            _os.utime(p, (now + 10 * i, now + 10 * i))  # pin batch order
+
+        src = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        # watermarks require TIMESTAMP (not NTZ); the session timezone
+        # is pinned to UTC (urqt_spark/session.py), so the cast is
+        # numerically the identity and unix_micros matches DuckDB's
+        # epoch_us over the naive values
+        agg = (
+            src.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window(F.col("ts"), "1 day").alias("win"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                F.unix_micros(F.col("win.start")).alias("window_start_us"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir)
+        return spark.createDataFrame(
+            out.toPandas(), schema="window_start_us long, n_events long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary columns under the oracle gate: documents.text
     re-encoded as opaque binary payloads, decoded by the deterministic
@@ -824,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "quality_filter_pipeline": q_quality_filter_pipeline,
         "streaming_filter": q_streaming_filter,
+        "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "audio_energy": q_audio_energy,
@@ -1120,6 +1190,17 @@ def oracle_sql() -> dict[str, str]:
                    expected_scrubbed_sha256 AS scrubbed_sha256
             FROM read_parquet('/root/repo/fixtures/flagship_labels.parquet')
             WHERE expected_keep""",
+        # watermarked windowed agg: append mode emits only windows
+        # whose end <= final watermark (max ts - 1 day); the oracle
+        # recomputes that cutoff from the table itself
+        "streaming_window_counts": """
+            WITH m AS (SELECT MAX(ts) AS mx FROM events),
+            w AS (SELECT date_trunc('day', ts) AS ws,
+                         CAST(COUNT(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1)
+            SELECT epoch_us(ws) AS window_start_us, n_events
+            FROM w, m
+            WHERE ws + INTERVAL 1 DAY <= mx - INTERVAL 1 DAY""",
         # fake image decode: features are pure functions of sha256(payload)
         # (multimodal.py decode_image) — recomputed here from hex digits
         "multimodal_features": f"""
