@@ -324,7 +324,14 @@ def ivf_neardup_pairs(
     sharing a coarse cell (top-``assign`` assignment), verified with
     exact cosine — the coarse-quantizer sibling of
     :func:`lsh_neardup_pairs` (cell-local candidate generation instead
-    of hyperplane buckets; shuffle is linear in rows × assign)."""
+    of hyperplane buckets; shuffle is linear in rows × assign).
+
+    Cost is data-dependent: candidates are quadratic WITHIN each cell,
+    so cells must stay small relative to the corpus (n_centroids ≈
+    √N is the usual rule).  The driver's near-uniform synthetic
+    embeddings are the worst case (no cluster structure → every
+    same-cell pair is a candidate); real embedding corpora cluster,
+    which is exactly what the cells exploit."""
     cells = ivf_cells(df, centroids, assign, vec_col, id_col)
     a, b = cells.alias("a"), cells.alias("b")
     cand = (
