@@ -179,18 +179,25 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 WCP_K, WCP_W, WCP_MIN = 16, 8, 4  # >=23-char shared region guaranteed caught
+# doc-frequency cap: ACTIVE at the gate (sf0.01 max df = 37, 7 fps over
+# 20) so the oracle hash-verifies the capped semantics itself, not just
+# the uncapped join — the boilerplate-fp skew-bomb defense under test
+WCP_MAX_DF = 20
 
 
 def q_winnow_clone_pairs(spark, sf_dir):
     """MOSS-style substring clone pairs: docs sharing >= 4 winnowing
     fingerprints at k=16/w=8 (functions/text.py winnow_clone_pairs) —
-    only (id, fp) longs cross the candidate shuffle.  k=8 grams are
+    only (id, fp) longs cross the candidate shuffle, and fingerprints
+    with doc-frequency > WCP_MAX_DF (boilerplate — quadratic hot keys)
+    are dropped by broadcast anti-join on BOTH engines.  k=8 grams are
     ubiquitous on a small-vocabulary corpus (~all pairs match); 16-char
     grams make sharing a real clone signal."""
     from urqt_spark.functions.text import winnow_clone_pairs
 
     return winnow_clone_pairs(
-        _docs(spark, sf_dir), k=WCP_K, w=WCP_W, min_shared=WCP_MIN
+        _docs(spark, sf_dir), k=WCP_K, w=WCP_W, min_shared=WCP_MIN,
+        max_df=WCP_MAX_DF,
     )
 
 
@@ -290,6 +297,28 @@ def q_simhash_neardup(spark, sf_dir):
     # candidate generation stays non-degenerate at corpus scale (the
     # 64-bit h=8 config is refused by the operator's scale guard)
     return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=8, n_bits=128)
+
+
+def q_simhash_neardup_dedup(spark, sf_dir):
+    """The SimHash skew-bomb defense under the gate (mirror of
+    q_minhash_lsh_dedup): every 25th doc is duplicated under a shifted
+    id, and precluster=True collapses the byte-identical copies to one
+    min-id representative BEFORE fingerprinting — identical texts have
+    identical fingerprints, so without the collapse every chunk of a
+    copy cluster is a hot (chunk, val) key.  If the collapse regressed,
+    hamming-0 copy pairs would appear and the row count/hash would
+    fail against the rep-restricted oracle."""
+    from urqt_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    dup = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return simhash_neardup_pairs(
+        d.unionByName(dup), max_hamming=8, n_bits=128, precluster=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -879,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_neardup": q_simhash_neardup,
+        "simhash_neardup_dedup": q_simhash_neardup_dedup,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_ann_pairs": q_lsh_ann_pairs,
@@ -1024,7 +1054,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, ngram ASC LIMIT 50""",
         "winnow_fingerprints": winnow_oracle_sql("documents"),
         "winnow_clone_pairs": winnow_clone_pairs_oracle_sql(
-            "documents", WCP_K, WCP_W, WCP_MIN
+            "documents", WCP_K, WCP_W, WCP_MIN, max_df=WCP_MAX_DF
         ),
         "sampled_composition": f"""
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
@@ -1261,6 +1291,25 @@ def oracle_sql() -> dict[str, str]:
         out["simhash_neardup"] = f"""
             WITH fp AS (SELECT id, fp_lo, fp_hi
                         FROM read_parquet('{_simhash_fp_parquet()}'))
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST({ham} AS INT) AS hamming
+            FROM fp a JOIN fp b ON a.id < b.id
+            WHERE {ham} <= 8"""
+        # precluster variant: reps = min id per text over the
+        # dup-injected union; identical texts have identical
+        # fingerprints, so pairs are the all-pairs Hamming set over
+        # the representative ids (all of which lie in the original id
+        # range, hence in the fp side table)
+        out["simhash_neardup_dedup"] = f"""
+            WITH alldocs AS (
+              SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id + 100000 AS BIGINT), text
+              FROM documents WHERE doc_id % 25 = 0),
+            reps AS (SELECT MIN(id) AS id FROM alldocs GROUP BY text),
+            fp AS (SELECT id, fp_lo, fp_hi
+                   FROM read_parquet('{_simhash_fp_parquet()}')
+                   WHERE id IN (SELECT id FROM reps))
             SELECT a.id AS id_a, b.id AS id_b,
                    CAST({ham} AS INT) AS hamming
             FROM fp a JOIN fp b ON a.id < b.id

@@ -149,7 +149,10 @@ def main() -> None:
                 samples.append(round(time.time() - t0, 3))
                 print(f"[bench] {name}: {samples[-1]}s", file=sys.stderr, flush=True)
             except Exception as exc:  # noqa: BLE001 — isolate per-query faults
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                # annotate which pass failed: with earlier successful
+                # samples the query still reports its min timing, and a
+                # bare error key would read as "failed entirely"
+                errors[name] = f"pass {i} failed: {type(exc).__name__}: {exc}"[:300]
                 print(
                     f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr, flush=True
                 )
@@ -225,6 +228,7 @@ def main() -> None:
         ("simhash_neardup", 2),
         ("winnow_clone_pairs", 2),
         ("ann_topk", 1),
+        ("lsh_ann_pairs", 1),
         ("ivf_ann_topk", 2),
         ("ivf_neardup", 1),
         ("pricing_summary", 1),

@@ -359,3 +359,110 @@ def test_ivf_neardup_recall_on_clusters(spark):
     }
     assert got <= exact
     assert len(got) >= 0.9 * len(exact)
+
+
+def test_simhash_precluster_defuses_exact_dup_skew(spark):
+    """Identical texts have identical SimHash fingerprints, so k exact
+    copies match in EVERY chunk — k²/2 candidates per chunk (the same
+    bomb minhash preclustering defuses).  precluster=True collapses
+    copies to one min-id representative before fingerprinting."""
+    from urqt_spark.operators.dedup import simhash_neardup_pairs
+
+    base = " ".join(f"tok{j}" for j in range(40))
+    near = base.replace("tok7", "chg7").replace("tok31", "chg31")
+    rows = [(i, base) for i in range(60)]  # 60 exact copies (the bomb)
+    rows += [(200, near), (201, " ".join(f"other{j}" for j in range(40)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(
+            df, max_hamming=8, n_bits=128, precluster=True
+        ).collect()
+    }
+    # no copy-copy (hamming 0) pairs survive; the near doc pairs with
+    # the single representative (id 0) if within distance
+    assert all(not (a < 60 and b < 60) for a, b in got)
+    raw_pairs = simhash_neardup_pairs(df, max_hamming=8, n_bits=128)
+    # without preclustering the quadratic hamming-0 copy block exists
+    assert raw_pairs.filter("hamming = 0").count() == 60 * 59 // 2
+    spark.catalog.clearCache()
+
+
+def test_winnow_df_cap_defuses_boilerplate_skew(spark):
+    """One license-header fingerprint shared by k files makes k²/2
+    join rows on a single hot fp key.  max_df drops over-cap
+    fingerprints before the self-join, so boilerplate-only sharings
+    disappear while genuine (rare) clone fingerprints survive."""
+    from urqt_spark.functions.text import winnow_clone_pairs
+
+    import numpy as np
+
+    boiler = "copyright license header identical preamble text block"
+    letters = list("abcdefghijklmnopqrstuvwxyz")
+    rng = np.random.default_rng(7)
+
+    def filler():  # random 24-char body: no shared >=8-char substrings
+        return "".join(rng.choice(letters, 24))
+
+    rows = []
+    for i in range(55):  # 55 docs share ONLY the boilerplate block
+        rows.append((i, f"{boiler} {filler()} {filler()}"))
+    # two docs sharing a RARE clone region (plus the boilerplate)
+    clone = "rare shared implementation region alpha beta"
+    rows += [
+        (100, f"{boiler} {clone} {filler()}"),
+        (101, f"{boiler} {clone} {filler()}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # min_shared=3: single-fp matches can arise by boundary-gram
+    # birthday collisions (grams straddling boilerplate→random filler
+    # agree when two docs share a 2-char filler prefix); >=3 shared
+    # fps after the cap means a real shared region
+    capped = winnow_clone_pairs(df, k=8, w=4, min_shared=3, max_df=20)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # boilerplate fps (df=57 > 20) are dropped: no pure-boilerplate
+    # pair survives; the rare clone pair (44-char region -> >=4 fps
+    # by the winnowing guarantee) does
+    assert (100, 101) in got
+    assert all(not (a < 100 and b < 100) for a, b in got), got
+    # uncapped, the hot boilerplate fps create the full pair block
+    uncapped = winnow_clone_pairs(df, k=8, w=4, min_shared=3, max_df=None)
+    assert uncapped.count() >= 57 * 56 // 2
+    spark.catalog.clearCache()
+
+
+def test_ivf_training_sample_sparse_id_fallback():
+    """A sparse/offset id space can defeat value-modulus sampling
+    (ADVICE r3): the sampler must fall back to row-position sampling
+    instead of returning an empty matrix (np.stack([]) ValueError)."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from urqt_spark.operators.similarity import ivf_training_sample
+
+    rng = np.random.default_rng(5)
+    # ids are large odd primes-ish values: none divisible by P
+    ids = 1_000_003 + 2 * np.arange(400)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ids + (ids % 2 == 0),  # force all odd
+            "embedding": [rng.standard_normal(4).tolist() for _ in range(400)],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/emb.parquet"
+        pdf.to_parquet(p, index=False)
+        got_ids, X, P = ivf_training_sample(p, sample_target=50)
+        # P=400//50=8; all ids odd → modulus sweep empty → fallback
+        assert P == 1 and len(got_ids) > 0 and X.shape[1] == 4
+        assert len(got_ids) <= 400
+        # empty table raises a clear error, not a numpy traceback
+        p2 = f"{d}/empty.parquet"
+        pdf.iloc[0:0].to_parquet(p2, index=False)
+        with _pytest.raises(ValueError, match="no rows sampled"):
+            ivf_training_sample(p2, sample_target=50)

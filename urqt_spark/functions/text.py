@@ -280,6 +280,7 @@ def winnow_clone_pairs(
     k: int = 8,
     w: int = 4,
     min_shared: int = 2,
+    max_df: int | None = 1000,
 ):
     """Substring-level clone pairs (MOSS-style): documents sharing at
     least ``min_shared`` winnowing fingerprints.  The detector behind
@@ -295,6 +296,20 @@ def winnow_clone_pairs(
     self-join like the LSH signature frames; :func:`winnow_df` is the
     same math in pure Catalyst, cross-checked by pytest and its own
     oracle entry.
+
+    ``max_df`` is the hot-key defense (standard MOSS practice): a
+    fingerprint present in df documents contributes df·(df-1)/2 join
+    rows on ONE key, so a license header shared by a million files is
+    a quadratic skew bomb on a single hot fp.  Fingerprints with
+    document frequency > max_df carry no discriminative clone signal
+    and are dropped BEFORE the self-join via a broadcast anti-join
+    (the hot set is tiny by construction — it is the over-cap tail).
+    The drop is logged, never silent; pass ``max_df=None`` to disable.
+
+    Cache lifecycle: the (id, fp) frame is persisted for the duration
+    of the returned plan; callers own release (``spark.catalog
+    .clearCache()`` or unpersist after the action), as bench.py and
+    the oracle harness do.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -306,6 +321,27 @@ def winnow_clone_pairs(
         .select("id", F.explode("fps").alias("fp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if max_df is not None:
+        # fps per doc are distinct, so df(fp) = row count per fp
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        # no-silent-caps rule: say what was dropped (one extra pass
+        # over the already-persisted narrow frame; the hot set itself
+        # is the tiny over-cap tail, safe to broadcast)
+        n_hot = hot.count()
+        if n_hot:
+            import sys
+
+            print(
+                f"[winnow_clone_pairs] dropped {n_hot} boilerplate "
+                f"fingerprint(s) with doc-frequency > {max_df}",
+                file=sys.stderr,
+            )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
@@ -316,19 +352,33 @@ def winnow_clone_pairs(
 
 
 def winnow_clone_pairs_oracle_sql(
-    docs_rel: str = "documents", k: int = 8, w: int = 4, min_shared: int = 2
+    docs_rel: str = "documents",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
 ) -> str:
-    """DuckDB replica: same fingerprint sets, unnest + equi-join."""
+    """DuckDB replica: same fingerprint sets, unnest + equi-join, and
+    the SAME doc-frequency cap — the capped semantics itself is what
+    the oracle verifies (at the gate corpus the cap is ACTIVE: fps
+    with df > max_df are excluded on both engines)."""
+    cap = (
+        ""
+        if max_df is None
+        else f"""WHERE fp IN (SELECT fp FROM ex GROUP BY fp
+                              HAVING COUNT(*) <= {max_df})"""
+    )
     return f"""
         WITH {_winnow_cte(docs_rel, k, w)},
         fsets AS (
           SELECT doc_id AS id,
                  list_distinct(list_transform(sel, p -> grams[CAST(p AS INT)])) AS fps
           FROM s),
-        ex AS (SELECT id, unnest(fps) AS fp FROM fsets)
+        ex AS (SELECT id, unnest(fps) AS fp FROM fsets),
+        ex2 AS (SELECT * FROM ex {cap})
         SELECT a.id AS id_a, b.id AS id_b,
                CAST(COUNT(*) AS BIGINT) AS n_shared
-        FROM ex a JOIN ex b ON a.fp = b.fp AND a.id < b.id
+        FROM ex2 a JOIN ex2 b ON a.fp = b.fp AND a.id < b.id
         GROUP BY a.id, b.id
         HAVING COUNT(*) >= {min_shared}"""
 

@@ -17,6 +17,13 @@ Scale notes: all joins here are equi-joins on content-derived keys, so
 Catalyst shuffles on the key and AQE handles skew; nothing is
 broadcast-sensitive except the (tiny) band table in minhash.  No
 collect() anywhere.
+
+Cache lifecycle: the LSH-family operators persist their narrow
+signature frames (MEMORY_AND_DISK) across the candidate self-join —
+the UDF would otherwise execute on both join sides.  CALLERS OWN
+RELEASE: unpersist (or ``spark.catalog.clearCache()``) after the
+terminal action, as bench.py and the oracle harness do; a long-lived
+session that never releases accumulates cached blocks.
 """
 
 from __future__ import annotations
@@ -498,6 +505,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_bits: int = 64,
+    precluster: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into
     ``max_hamming + 1`` chunks — pigeonhole: any pair with Hamming
@@ -516,7 +524,18 @@ def simhash_neardup_pairs(
     at h=8 gives ~7-bit chunks → ~N²/128 candidates at corpus scale),
     so such configurations are REFUSED; use ``n_bits=128`` (h ≤ 9)
     instead.  64-bit stays the cheap path for h ≤ 4.
+
+    ``precluster=True`` collapses EXACT duplicates to one min-id
+    representative before fingerprinting (the same skew-bomb defense
+    as :func:`minhash_lsh_pairs_preclustered`): byte-identical copies
+    have IDENTICAL fingerprints, so every chunk of a k-copy cluster
+    matches — k·(k-1)/2 candidates per chunk on one hot (chunk, val)
+    key.  Collapsing first (a linear hash groupBy) bounds every chunk
+    bucket by the DISTINCT-document count; copy multiplicity lives in
+    :func:`exact_dedup_groups`, not the pair list.
     """
+    if precluster:
+        df = exact_dedup(df, text_col=text_col, id_col=id_col)
     n_chunks = max_hamming + 1
     if n_bits not in (64, 128):
         raise ValueError(f"n_bits must be 64 or 128, got {n_bits}")
