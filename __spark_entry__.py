@@ -289,6 +289,63 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return minhash_lsh_pairs_preclustered(d.unionByName(dup), threshold=0.5)
 
 
+_SIGTAB_VERSION = 1  # bump when shingle/minhash/banding params change
+
+
+def _minhash_sig_table(spark, sf_dir: str) -> str:
+    """Persisted (id, band, bucket) MinHash signature table for the
+    sf_dir documents corpus — written ONCE per (corpus mtime, size,
+    version) into a cache dir, read back by the incremental query.
+    This is the durable corpus index a real ingestion pipeline keeps:
+    run N never re-signs what run N-1 signed."""
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    key = f"{tag}_v{_SIGTAB_VERSION}_{int(st.st_mtime)}_{st.st_size}"
+    out = f"/tmp/urqt_oracle_cache/minhash_sigs_{key}.parquet"
+    if not os.path.exists(out):
+        from urqt_spark.operators.dedup import write_minhash_signature_table
+
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        write_minhash_signature_table(d, out)
+    return out
+
+
+def q_incremental_minhash_dedup(spark, sf_dir):
+    """Incremental near-dup ingestion (VERDICT r3 missing #1): the
+    corpus signature table is persisted once; a NEW batch (every 20th
+    doc copied verbatim under a shifted id + every (20k+10)th doc with
+    its first word dropped — exact and near dups by construction) is
+    signed and joined against the persisted signatures + itself; exact
+    Jaccard verifies candidates with corpus shingles recomputed only
+    behind the candidate join.  The oracle recomputes the pair set
+    relationally over the same derived union corpus, restricted to
+    pairs involving a new-batch doc."""
+    from urqt_spark.operators.dedup import incremental_minhash_pairs
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sig_path = _minhash_sig_table(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    dropped = F.concat_ws(
+        " ", F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    )
+    newb = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 20 == 10).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                dropped.alias("text"),
+            )
+        )
+    )
+    return incremental_minhash_pairs(spark, newb, sig_path, d, threshold=0.5)
+
+
 def q_simhash_neardup(spark, sf_dir):
     from urqt_spark.operators.dedup import simhash_neardup_pairs
 
@@ -928,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_dedup": q_simhash_neardup_dedup,
         "ann_topk": q_ann_topk,
@@ -1144,6 +1202,40 @@ def oracle_sql() -> dict[str, str]:
             FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
             GROUP BY a.id, b.id
             HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) >= 0.5""",
+        # incremental ingestion: relational recompute over the SAME
+        # derived union corpus (verbatim copies + first-word-dropped
+        # variants under shifted ids), restricted to pairs touching
+        # the new batch — corpus-internal pairs are yesterday's output
+        "incremental_minhash_dedup": """
+            WITH newdocs AS (
+              SELECT CAST(doc_id + 100000 AS BIGINT) AS id, text
+              FROM documents WHERE doc_id % 20 = 0
+              UNION ALL
+              SELECT CAST(doc_id + 100000 AS BIGINT),
+                     array_to_string(string_split(text, ' ')[2:], ' ')
+              FROM documents WHERE doc_id % 20 = 10),
+            alldocs AS (
+              SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+              UNION ALL SELECT id, text FROM newdocs),
+            sh AS (
+              SELECT id,
+                     list_distinct(list_transform(
+                       range(GREATEST(len(string_split(text,' ')) - 2, 0)),
+                       i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
+                     )) AS shingles
+              FROM alldocs),
+            ex AS (SELECT id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     ROUND(CAST(COUNT(*) AS DOUBLE)
+                           / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) AS jaccard
+              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+              GROUP BY a.id, b.id
+              HAVING ROUND(CAST(COUNT(*) AS DOUBLE)
+                           / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) >= 0.5)
+            SELECT id_a, id_b, jaccard FROM pairs
+            WHERE id_a IN (SELECT id FROM newdocs)
+               OR id_b IN (SELECT id FROM newdocs)""",
         "lsh_ann_pairs": """
             WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
                               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm

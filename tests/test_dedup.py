@@ -506,3 +506,77 @@ def test_ivf_cell_cap_bounds_skewed_cells(spark):
     # style); with these ids the groups are near-even
     assert sub_sizes.agg(F.max("count")).head()[0] <= cap + 1
     spark.catalog.clearCache()
+
+
+def test_incremental_minhash_uses_persisted_signatures(spark, tmp_path):
+    """Ingestion-run contract: run 1 persists the corpus signature
+    table; run 2 signs ONLY the new batch (exactly one ArrowEvalPython
+    in the executed plan — the corpus side is a parquet scan of the
+    signature table) and still produces the exact pair set a full
+    recompute over the union would."""
+    from urqt_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        write_minhash_signature_table,
+    )
+
+    base = [
+        (i, " ".join(f"w{(i * j) % 17}" for j in range(14))) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(base, ["doc_id", "text"])
+    sig = str(tmp_path / "sigs.parquet")
+    write_minhash_signature_table(corpus, sig)  # run 1: sign the corpus
+
+    # run 2: a new batch of copies (exact dups of docs 0/10/20/30)
+    # and one novel doc
+    newb = spark.createDataFrame(
+        [(100 + i, base[i][1]) for i in (0, 10, 20, 30)]
+        + [(140, "entirely novel words never seen before anywhere")],
+        ["doc_id", "text"],
+    )
+    inc = incremental_minhash_pairs(spark, newb, sig, corpus, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in inc.collect()}
+
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+
+    def live_udf_nodes(plan_text):
+        """ArrowEvalPython nodes OUTSIDE cached-relation definitions
+        (the executed-plan string reprints each InMemoryRelation's
+        cached subtree under every scan, and AQE appends an Initial
+        Plan section — neither represents a live execution)."""
+        final = plan_text.split("== Initial Plan ==")[0]
+        live, cached_indent = 0, None
+
+        def indent(line):
+            return len(line) - len(line.lstrip(" :+-"))
+
+        for line in final.splitlines():
+            if cached_indent is not None and indent(line) > cached_indent:
+                continue  # still inside the cached subtree
+            cached_indent = None
+            if "InMemoryRelation" in line:
+                cached_indent = indent(line)
+            elif "ArrowEvalPython" in line:
+                live += 1
+        return live
+
+    # the ONLY minhash UDF subtree is the persisted new-batch frame:
+    # zero live UDF nodes (both join sides read the cache), and the
+    # cached definition's UDF reads the new batch, not the corpus —
+    # the corpus enters solely as the signature-table parquet scan
+    assert live_udf_nodes(plan) == 0, plan
+    assert plan.count("InMemoryTableScan") >= 2
+    # the plan string abbreviates file paths; the parquet FileScan is
+    # the signature table (the only file-based input in this query)
+    assert "FileScan parquet" in plan, "persisted signature table not scanned"
+
+    # ground truth: full recompute over the union, restricted to
+    # pairs involving a new-batch id
+    union = corpus.unionByName(newb)
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(union, threshold=0.5).collect()
+        if r.id_a >= 100 or r.id_b >= 100
+    }
+    assert got == full and len(got) >= 4
+    spark.catalog.clearCache()
