@@ -136,26 +136,33 @@ def _needle_positions(buf: bytes, needle: bytes) -> list[int]:
     return out
 
 
-def batch_scrub_hints(
+def batch_scrub_hints_by_rule(
     cp: np.ndarray,
     row_start: np.ndarray,
     row_end: np.ndarray,
     buf: bytes | None = None,
-) -> np.ndarray:
-    """Per-row "any rule may match" over a '\\n'-joined latin-1 batch
-    view.  No needle contains a newline, so no hit crosses the row
-    separator; chars > 255 latin-1-replace to '?', which is outside
-    every pattern's alphabet, so the view can only ADD hints, never
-    lose one."""
+) -> dict[str, np.ndarray]:
+    """PER-RULE "this rule may match here" masks over a '\\n'-joined
+    latin-1 batch view — rule name → bool[R].  No needle contains a
+    newline, so no hit crosses the row separator; chars > 255
+    latin-1-replace to '?', which is outside every pattern's alphabet,
+    so the view can only ADD hints, never lose one.
+
+    Per-rule (not any-rule) masks matter on code corpora: the ipv4
+    digit.digit trigram fires on every float/version literal, and
+    running the WHOLE 6-regex chain on any hinted row made e.g. the
+    email regex scan rows that cannot contain '@' — measured ~0.9 ms
+    per hinted 9 KB doc for the full chain vs 1-2 hinted families."""
     size = cp.size
     R = row_start.size
+    masks = {name: np.zeros(R, dtype=bool) for name, _, _ in SCRUB_RULES}
     if size == 0:
-        return np.zeros(R, dtype=bool)
+        return masks
+
     if buf is None:
         buf = cp.tobytes()
-    hit_rows = np.zeros(R, dtype=bool)
 
-    def mark(positions) -> None:
+    def mark(hit_rows, positions) -> None:
         if len(positions) == 0:
             return
         # position p belongs to row r iff row_start[r] <= p < row_end[r];
@@ -163,16 +170,16 @@ def batch_scrub_hints(
         rows = np.searchsorted(row_start, np.asarray(positions), side="right") - 1
         hit_rows[rows] = True
 
-    for needles in _HINT_NEEDLES.values():
+    for name, needles in _HINT_NEEDLES.items():
         for nd in needles:
-            mark(_needle_positions(buf, nd))
+            mark(masks[name], _needle_positions(buf, nd))
     # ipv4: any digit '.' digit trigram (every IPv4 literal contains one)
     # digit test as uint8 arithmetic ((c-48) wraps below '0') — a
     # vector compare, not a 256-table gather
     isdig = (cp - np.uint8(48)) < np.uint8(10)
     if size >= 3:
         m = isdig[:-2] & (cp[1:-1] == 46) & isdig[2:]
-        mark(np.flatnonzero(m))
+        mark(masks["ipv4"], np.flatnonzero(m))
     # long_hex: a run of >= 40 hex chars (the \b bounds only shrink it);
     # (c|32) lowercases ASCII letters, so a-f/A-F test in one compare
     ishex = isdig | (((cp | np.uint8(32)) - np.uint8(97)) < np.uint8(6))
@@ -181,8 +188,24 @@ def batch_scrub_hints(
     d = np.diff(pad)
     starts = np.flatnonzero(d == 1)
     ends = np.flatnonzero(d == -1)
-    mark(starts[(ends - starts) >= 40])
-    return hit_rows
+    mark(masks["long_hex"], starts[(ends - starts) >= 40])
+    return masks
+
+
+def batch_scrub_hints(
+    cp: np.ndarray,
+    row_start: np.ndarray,
+    row_end: np.ndarray,
+    buf: bytes | None = None,
+) -> np.ndarray:
+    """Per-row "ANY rule may match" — the union of
+    :func:`batch_scrub_hints_by_rule`."""
+    masks = batch_scrub_hints_by_rule(cp, row_start, row_end, buf=buf)
+    R = row_start.size
+    any_hint = np.zeros(R, dtype=bool)
+    for m in masks.values():
+        any_hint |= m
+    return any_hint
 
 
 def scrub_spark_col(col):

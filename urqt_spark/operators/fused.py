@@ -33,8 +33,6 @@ of Arrow batches.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -48,7 +46,7 @@ from pyspark.sql.types import (
 )
 
 from urqt_spark.config import FilterConfig
-from urqt_spark.functions.scrub import batch_scrub_hints, scrub_text
+from urqt_spark.functions.scrub import batch_scrub_hints_by_rule
 from urqt_spark.kernel import phred_lut, trim_batch
 from urqt_spark.operators.trim import BatchView
 
@@ -83,7 +81,6 @@ def fused_schema(cfg: FilterConfig) -> StructType:
         StructField("lang_conf", DoubleType(), False),
         StructField("ppl", DoubleType(), False),
         StructField("content_scrubbed", StringType(), False),
-        StructField("scrubbed_sha256", StringType(), False),
     ]
     if cfg.emit_kept_text:
         fields.insert(4, StructField("kept_text", StringType(), True))
@@ -136,7 +133,7 @@ def filter_batch(contents: pd.Series, cfg: FilterConfig, lut: np.ndarray) -> pd.
     # Python strings).  Formula-for-formula the JVM with_heuristics.
     kept_chars = np.where(nonempty, ghi - glo, 0).astype(np.int64)
     kept_lines = np.where(nonempty, ce - cb + 1, 1).astype(np.int64)
-    ac = np.concatenate(([0], np.cumsum(_ALNUM_TABLE[v.cp], dtype=np.int64)))
+    ac = np.concatenate(([0], np.cumsum(_ALNUM_TABLE[v.cp], dtype=np.int32)))
     alnum = np.where(nonempty, ac[ghi] - ac[glo], 0)
     mean_line_len = kept_chars / kept_lines
     alnum_ratio = np.where(kept_chars > 0, alnum / np.maximum(kept_chars, 1), 0.0)
@@ -188,22 +185,27 @@ def filter_batch(contents: pd.Series, cfg: FilterConfig, lut: np.ndarray) -> pd.
 
     # ---- scrub: numpy needle/trigram hints over the SAME byte view
     # (superset of any real match — hints run on full content, scrub on
-    # the kept subset), then Python-re only on hinted survivors.
+    # the kept subset), then Python-re only on hinted survivors, and
+    # only the HINTED RULES per row (each rule's hint is a superset of
+    # its matches, so skipping unhinted rules never changes a byte;
+    # rule order per row is preserved by iterating rules outermost).
+    # sha256 moved JVM-side (with_filter_fused) — it shrinks the Arrow
+    # return payload and hashes at JVM speed in the sink stage.
     if cfg.scrub_enabled:
         scrubbed = list(kept)
-        hints = batch_scrub_hints(
+        rule_hints = batch_scrub_hints_by_rule(
             v.cp, v.row_start, v.row_start + v.row_len, buf=v.buf
         )
-        for r in np.flatnonzero(hints & keep & nonempty):
-            scrubbed[r] = scrub_text(scrubbed[r])
-        sha = [""] * R
-        for r in np.flatnonzero(keep):
-            sha[r] = hashlib.sha256(scrubbed[r].encode()).hexdigest()
+        active = keep & nonempty
+        from urqt_spark.functions.scrub import _COMPILED
+
+        for name, rx, rep in _COMPILED:
+            for r in np.flatnonzero(rule_hints[name] & active):
+                scrubbed[r] = rx.sub(rep, scrubbed[r])
         for r in np.flatnonzero(~keep):
             scrubbed[r] = ""
     else:
         scrubbed = [""] * R
-        sha = [""] * R
 
     out = {
         "cut_begin": cb.astype(np.int32),
@@ -220,7 +222,6 @@ def filter_batch(contents: pd.Series, cfg: FilterConfig, lut: np.ndarray) -> pd.
         "lang_conf": lang_conf,
         "ppl": ppl,
         "content_scrubbed": scrubbed,
-        "scrubbed_sha256": sha,
     }
     if cfg.emit_kept_text:
         out["kept_text"] = kept
@@ -243,6 +244,18 @@ def with_filter_fused(df, cfg: FilterConfig, content_col: str = "content"):
     """``df -> df + all decision columns`` in one Arrow crossing.  The
     struct expands through ``inline`` so the UDF runs exactly once per
     row (see operators/trim.with_trim for the projection-collapse
-    rationale)."""
+    rationale).  ``scrubbed_sha256`` is computed JVM-side from the
+    returned scrubbed text (sha2 is codegen-friendly and overlaps the
+    sink stage; hashing in the UDF serialized 64 hex chars per row
+    back through Arrow and burned Python time) — byte-identical to the
+    former hashlib path: both hash the UTF-8 bytes, and sha of a
+    dropped row stays ""."""
     udf = make_filter_udf(cfg)
-    return df.select("*", F.inline(F.array(udf(F.col(content_col)))))
+    out = df.select("*", F.inline(F.array(udf(F.col(content_col)))))
+    if cfg.scrub_enabled:
+        sha = F.when(
+            F.col("keep"), F.sha2(F.col("content_scrubbed"), 256)
+        ).otherwise(F.lit(""))
+    else:
+        sha = F.lit("")
+    return out.withColumn("scrubbed_sha256", sha)
