@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from urqt_spark.functions.scrub import scrub_spark_col, scrub_sql
 from urqt_spark.functions.text import winnow_clone_pairs_oracle_sql, winnow_oracle_sql
+from urqt_spark.operators.dedup import neardup_components_oracle_sql
 from urqt_spark.operators.grouped_stats import length_stats_oracle_sql
 from urqt_spark.plans.entry_queries import (
     WORD_Q_SQL,
@@ -289,6 +290,36 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return minhash_lsh_pairs_preclustered(d.unionByName(dup), threshold=0.5)
 
 
+# exact all-pairs Jaccard ≥ 0.5 over documents — the relational truth
+# both the minhash_lsh_pairs oracle and the components oracle build on
+_MH_PAIRS_ORACLE = """
+            WITH sh AS (
+              SELECT CAST(doc_id AS BIGINT) AS id,
+                     list_distinct(list_transform(
+                       range(GREATEST(len(string_split(text,' ')) - 2, 0)),
+                       i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
+                     )) AS shingles
+              FROM documents),
+            ex AS (SELECT id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) AS jaccard
+            FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+            HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) >= 0.5"""
+
+
+def q_neardup_components(spark, sf_dir):
+    """Cluster resolution over the near-dup pair graph: iterative
+    min-label propagation (operators/dedup.py neardup_components) —
+    the step that turns pairs into keep/drop decisions when A~B~C but
+    A!~C.  Oracled by a DuckDB recursive CTE computing the transitive
+    min over the SAME relational exact-Jaccard pair set."""
+    from urqt_spark.operators.dedup import minhash_lsh_pairs, neardup_components
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, bands=32)
+    return neardup_components(pairs)
+
+
 _SIGTAB_VERSION = 1  # bump when shingle/minhash/banding params change
 
 
@@ -398,20 +429,28 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_lsh_ann_pairs(spark, sf_dir):
-    from urqt_spark.operators.similarity import lsh_neardup_pairs
+    from urqt_spark.operators.similarity import auto_lsh_params, lsh_neardup_pairs
 
     # threshold 0.4 is the lowest level at which the driver's (near-
     # uniform random) embeddings have any pairs at all (59 at sf0.01),
-    # so the oracle compares a NON-empty exact all-pairs set.  At
-    # 3 planes × 48 tables P(miss a cosine-0.4 pair) = (1-0.631³)⁴⁸
-    # ≈ 1e-6 → effectively exact on fixed data.  On uniform-random
-    # vectors such a low threshold makes most pairs candidates —
-    # that is a property of this synthetic data, not of the operator;
-    # production near-dup thresholds (≥0.8, docstring math) keep the
-    # candidate set linear.
+    # so the oracle compares a NON-empty exact all-pairs set.  Planes
+    # and tables are COMPUTED from the metadata row count + threshold
+    # (auto_lsh_params: expected bucket ~64 rows, per-pair miss
+    # ≤ 1e-5 → e.g. (3, 40) at sf0.01, (5, 109) at sf0.1) so bucket
+    # population stays bounded as the corpus grows — effectively exact
+    # recall on fixed data, which the all-pairs oracle checks.  On
+    # uniform-random vectors this low threshold makes most pairs
+    # candidates — a property of the synthetic data, not the operator;
+    # production near-dup thresholds (≥0.8) keep candidates linear.
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    n_planes, n_tables = auto_lsh_params(n_rows, threshold=0.4)
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").head()[0])
-    return lsh_neardup_pairs(emb, dim=dim, threshold=0.4, n_planes=3, n_tables=48)
+    return lsh_neardup_pairs(
+        emb, dim=dim, threshold=0.4, n_planes=n_planes, n_tables=n_tables
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -986,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
+        "neardup_components": q_neardup_components,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_dedup": q_simhash_neardup_dedup,
         "ann_topk": q_ann_topk,
@@ -1165,20 +1205,13 @@ def oracle_sql() -> dict[str, str]:
         # probability ~1e-4 per pair; see q_minhash_lsh_pairs), so the
         # oracle is the full all-pairs exact-Jaccard set — a genuine
         # independent check of the banding + candidate-join + verify.
-        "minhash_lsh_pairs": """
-            WITH sh AS (
-              SELECT CAST(doc_id AS BIGINT) AS id,
-                     list_distinct(list_transform(
-                       range(GREATEST(len(string_split(text,' ')) - 2, 0)),
-                       i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
-                     )) AS shingles
-              FROM documents),
-            ex AS (SELECT id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
-            SELECT a.id AS id_a, b.id AS id_b,
-                   ROUND(CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) AS jaccard
-            FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
-            GROUP BY a.id, b.id
-            HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)), 4) >= 0.5""",
+        "minhash_lsh_pairs": _MH_PAIRS_ORACLE,
+        # transitive min-label over the SAME relational pair set — the
+        # recursive CTE is the independent reference for the Spark
+        # min-label-propagation loop
+        "neardup_components": neardup_components_oracle_sql(
+            f"SELECT id_a, id_b FROM ({_MH_PAIRS_ORACLE})"
+        ),
         # skew-proof variant: exact copies collapse to min-id reps
         # BEFORE pairing — the oracle computes all-pairs Jaccard over
         # the distinct-content representatives of the dup-injected set

@@ -225,7 +225,10 @@ def main() -> None:
         ("exact_dedup", 1),
         ("minhash_lsh_pairs", 2),  # heavy queries: min-of-2 (host noise)
         ("minhash_lsh_dedup", 1),
+        ("incremental_minhash_dedup", 1),
+        ("neardup_components", 1),
         ("simhash_neardup", 2),
+        ("simhash_neardup_dedup", 1),
         ("winnow_clone_pairs", 2),
         ("ann_topk", 1),
         ("lsh_ann_pairs", 1),

@@ -237,3 +237,58 @@ def test_em_second_iteration_moves_the_cut():
     assert cut_points_em(p, cls, target_class=0, max_iter=1) == (2, 4)
     assert cut_points_em(p, cls, target_class=0) == (2, 5)
     assert cut_points_em_naive(p, cls, target_class=0) == (2, 5)
+
+
+def test_ep2_argmax_margins_exceed_float_noise():
+    """ADVICE r3: the trim_ep2 oracle compares np.cumsum prefix sums
+    (Spark) against DuckDB windowed SUM, whose accumulation order may
+    differ — near-tie argmax decisions could then flip cross-engine.
+    Measure the actual minimum decision margin (best minus runner-up
+    log-likelihood, both scans) over the whole gate corpus and assert
+    it dwarfs float-reorder noise (~1e-12 relative on sums of ~1e3
+    magnitude terms => absolute noise ~1e-9)."""
+    import numpy as np
+    import pandas as pd
+
+    from urqt_spark.plans.entry_queries import (
+        EP2_MAX_HEAD,
+        EP2_MAX_TAIL,
+        _ep2_tables,
+        ep2_composition,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    kt, bt = _ep2_tables(ep2_composition(sf_dir))
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    min_margin = np.inf
+    for text in docs.text:
+        words = (text or "").split(" ")
+        n = len(words)
+        if n == 0:
+            continue
+        q = np.clip([len(w) * 5 for w in words], 1, 44).astype(np.int64)
+        cls = np.array([len(w) % 4 for w in words], dtype=np.int64)
+        tk, tb = kt[q - 1, cls], bt[q - 1, cls]
+        ck = np.concatenate(([0.0], np.cumsum(tk)))
+        cb = np.concatenate(([0.0], np.cumsum(tb)))
+        L = np.arange(n + 1, dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pr = -L * np.log(L)
+        pr[0] = 0.0
+        j = np.arange(n + 1)
+        logl = ck[j] + pr[j] + (cb[n] - cb[j]) + pr[n - 1 - j + 1]
+        srt = np.sort(logl)
+        if srt.size >= 2:
+            assert srt[-1] - srt[-2] > 0, "exact argmax tie on gate corpus"
+            min_margin = min(min_margin, srt[-1] - srt[-2])
+        cut_end = max(int(np.argmax(logl)) - 1, n - EP2_MAX_TAIL - 1)
+        j = np.arange(cut_end + 2)
+        logl = cb[j] + pr[j] + (ck[cut_end + 1] - ck[j]) + pr[cut_end - j + 1]
+        srt = np.sort(logl)
+        if srt.size >= 2:
+            assert srt[-1] - srt[-2] > 0, "exact argmax tie on gate corpus"
+            min_margin = min(min_margin, srt[-1] - srt[-2])
+    # zero exact ties (asserted above — a bit-exact tie computed in a
+    # different summation order could flip the argmax), and every
+    # decision clears reorder noise by a wide band
+    assert min_margin > 1e-6, f"near-tie margin {min_margin} too small"

@@ -385,8 +385,92 @@ def minhash_lsh_pairs_preclustered(
 
 
 # ---------------------------------------------------------------------------
-# incremental MinHash dedup against a persisted signature table
+# near-dup cluster resolution: connected components over the pair graph
 # ---------------------------------------------------------------------------
+
+
+def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, component) for every node of the near-dup pair graph,
+    component = the MINIMUM id reachable from the node — the cluster
+    representative a dedup pipeline keeps (pairs alone don't answer
+    "which copy survives?" when A~B and B~C but A!~C).
+
+    Algorithm: iterative min-label propagation — label(x) ←
+    min(label(x), min over neighbors' labels) — run as a Spark join +
+    groupBy per round, converging in O(graph diameter) rounds (near-dup
+    components are shallow: diameter ≤ a few hops in practice; the
+    large-star/small-star O(log n) variant is the drop-in upgrade if a
+    corpus ever produces deep chains).  Each round is one shuffle of
+    (node, label) longs; the convergence check is a count of changed
+    labels (a driver-side scalar per round, same discipline as the EM
+    loop).  Deterministic: min is order-independent.
+
+    Raises after ``max_iter`` rounds instead of silently returning
+    unconverged labels (no-silent-caps rule)."""
+    e = pairs.select(
+        F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
+    )
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("min_nbr"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("u"), F.col("min_nbr")).alias("label"),
+        )
+        .persist()
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over (own label, neighbors' labels)
+        nbr = (
+            edges.join(labels, edges.v == labels.id)
+            .select(edges.u.alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select("id", F.col("label").alias("component"))
+    edges.unpersist()
+    raise RuntimeError(
+        f"neardup_components did not converge in {max_iter} rounds — "
+        f"pathologically deep component chain; use the star-contraction "
+        f"variant for this corpus"
+    )
+
+
+def neardup_components_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB replica: transitive min-label via a recursive CTE over
+    the SAME pair set (``pairs_sql`` must yield (id_a, id_b)).
+    UNION-dedup bounds the recursion by distinct (node, reachable-min)
+    states."""
+    return f"""
+        WITH RECURSIVE pr AS ({pairs_sql}),
+        edges(u, v) AS (
+          SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+        reach(id, lab) AS (
+          SELECT u, LEAST(u, MIN(v)) FROM edges GROUP BY u
+          UNION
+          SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
+          WHERE r.lab < e.u),
+        comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)
+        SELECT CAST(id AS BIGINT) AS id,
+               CAST(component AS BIGINT) AS component
+        FROM comp"""
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

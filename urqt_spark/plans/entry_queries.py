@@ -560,7 +560,18 @@ def trim_ep2_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def trim_ep2_sql(sf_dir: str, docs_rel: str = "documents") -> str:
     """DuckDB oracle: identical scan over the SAME (q, cls) term
-    literals pass 1 produced."""
+    literals pass 1 produced.
+
+    Cross-engine tie risk (ADVICE r3): the Spark side accumulates
+    prefix sums with np.cumsum (strict left-to-right), the oracle with
+    DuckDB windowed SUM, whose accumulation order is an implementation
+    detail — float addition is not associative, so an argmax decided
+    by a margin near float noise (~1e-12 relative) could flip between
+    engines on an adversarial corpus.  tests/test_kernel.py::
+    test_ep2_argmax_margins_exceed_float_noise measures the minimum
+    decision margin over the WHOLE gate corpus and asserts it is
+    orders of magnitude above reorder noise, so the gate comparison
+    cannot hinge on summation order."""
     pi = ep2_composition(sf_dir)
     mh, mt = EP2_MAX_HEAD, EP2_MAX_TAIL
     return f"""
