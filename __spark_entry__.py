@@ -320,6 +320,34 @@ def q_neardup_components(spark, sf_dir):
     return neardup_components(pairs)
 
 
+def q_neardup_components_star(spark, sf_dir):
+    """Same cluster resolution, via alternating large-star/small-star
+    contraction (Kiveris et al. 2014, operators/dedup.py
+    neardup_components_star) — O(log² n) rounds on ANY graph shape,
+    where min-label needs O(diameter).  Two independent Spark
+    implementations against ONE recursive-CTE oracle."""
+    from urqt_spark.operators.dedup import minhash_lsh_pairs, neardup_components_star
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, bands=32)
+    return neardup_components_star(pairs)
+
+
+def q_fuzzy_dedup_resolve(spark, sf_dir):
+    """The complete fuzzy-dedup pipeline surface: pairs → components →
+    anti-join, returning only the SURVIVING documents (min-id
+    representative per near-dup cluster, everything unclustered
+    untouched).  The document payload never crosses a shuffle — the
+    drop list (clustered non-representatives) is broadcast."""
+    from urqt_spark.operators.dedup import fuzzy_dedup_resolve, minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(d, threshold=0.5, bands=32)
+    return fuzzy_dedup_resolve(d, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
 _SIGTAB_VERSION = 1  # bump when shingle/minhash/banding params change
 
 
@@ -1026,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "neardup_components": q_neardup_components,
+        "neardup_components_star": q_neardup_components_star,
+        "fuzzy_dedup_resolve": q_fuzzy_dedup_resolve,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_dedup": q_simhash_neardup_dedup,
         "ann_topk": q_ann_topk,
@@ -1212,6 +1242,22 @@ def oracle_sql() -> dict[str, str]:
         "neardup_components": neardup_components_oracle_sql(
             f"SELECT id_a, id_b FROM ({_MH_PAIRS_ORACLE})"
         ),
+        # the star-contraction implementation must land on the SAME
+        # fixed point as min-label propagation — one oracle, two
+        # independent Spark algorithms
+        "neardup_components_star": neardup_components_oracle_sql(
+            f"SELECT id_a, id_b FROM ({_MH_PAIRS_ORACLE})"
+        ),
+        # survivors = corpus minus clustered non-representatives; the
+        # component set is recomputed relationally end-to-end
+        "fuzzy_dedup_resolve": f"""
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   sha256(d.text) AS text_sha
+            FROM documents d
+            WHERE CAST(d.doc_id AS BIGINT) NOT IN (
+              SELECT id FROM ({neardup_components_oracle_sql(
+                  f"SELECT id_a, id_b FROM ({_MH_PAIRS_ORACLE})"
+              )}) WHERE id != component)""",
         # skew-proof variant: exact copies collapse to min-id reps
         # BEFORE pairing — the oracle computes all-pairs Jaccard over
         # the distinct-content representatives of the dup-injected set

@@ -227,6 +227,7 @@ def main() -> None:
         ("minhash_lsh_dedup", 1),
         ("incremental_minhash_dedup", 1),
         ("neardup_components", 1),
+        ("fuzzy_dedup_resolve", 1),
         ("simhash_neardup", 2),
         ("simhash_neardup_dedup", 1),
         ("winnow_clone_pairs", 2),

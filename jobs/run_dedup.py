@@ -18,6 +18,12 @@ Methods:
 * ``simhash``   — near-dup pairs via 128-bit SimHash banding
 * ``clones``    — substring-level clone pairs via winnowing
                   fingerprints (MOSS-style)
+* ``resolve``   — the COMPLETE dedup: exact-dup collapse, then
+                  near-dup pairs over the representatives, then
+                  connected components (star contraction) and a
+                  broadcast anti-join of the drop list — the output
+                  is the surviving corpus itself, one representative
+                  per exact+near-dup cluster
 
 Prints ONE JSON stats line on stdout.
 """
@@ -37,7 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument(
-        "--method", required=True, choices=["exact", "minhash", "simhash", "clones"]
+        "--method",
+        required=True,
+        choices=["exact", "minhash", "simhash", "clones", "resolve"],
     )
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
@@ -50,7 +58,9 @@ def parse_args(argv=None):
 
 def run(spark, args) -> dict:
     from urqt_spark.operators.dedup import (
+        exact_dedup,
         exact_dedup_groups,
+        fuzzy_dedup_resolve,
         minhash_lsh_pairs,
         minhash_lsh_pairs_preclustered,
         simhash_neardup_pairs,
@@ -73,6 +83,12 @@ def run(spark, args) -> dict:
             max_hamming=args.max_hamming,
             n_bits=128,
         )
+    elif args.method == "resolve":
+        reps = exact_dedup(df, args.text_col, args.id_col)
+        pairs = minhash_lsh_pairs_preclustered(
+            df, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
+        )
+        out = fuzzy_dedup_resolve(reps, pairs, id_col=args.id_col)
     else:  # clones
         out = winnow_clone_pairs(
             df,

@@ -184,3 +184,18 @@ def test_dedup_job(spark, tmp_path):
     assert rc == 0
     pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(out2).collect()}
     assert pairs == {(0, 2)}  # the exact copy collapsed, near pair found
+
+    # resolve = the surviving corpus itself: doc 1 (exact copy of 0)
+    # and doc 2 (near-dup of 0) are gone, the unrelated doc 3 stays
+    out3 = str(tmp_path / "resolved")
+    rc = dedup_main(
+        [
+            "--input", src, "--output", out3, "--method", "resolve",
+            "--threshold", "0.3",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out3)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 3]
+    assert sorted(kept.columns) == ["doc_id", "text"]  # full payload survives

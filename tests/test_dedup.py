@@ -645,3 +645,86 @@ def test_auto_n_centroids_follows_sqrt_rule(tmp_path):
             {"vec_id": np.arange(n), "embedding": [[0.0]] * n}
         ).to_parquet(p, index=False)
         assert auto_n_centroids(p) == expect
+
+
+def test_star_components_converge_on_deep_chains(spark):
+    """A near-dup CHAIN (a~b~c~… from sliding content drift) is the
+    shape min-label propagation cannot afford: O(diameter) rounds.
+    The star-contraction variant must resolve a 60-node path in
+    O(log² n) rounds — and min-label must REFUSE it loudly rather
+    than burn 60 shuffle rounds (its documented contract)."""
+    import pytest as _pytest
+
+    from urqt_spark.operators.dedup import (
+        neardup_components,
+        neardup_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.component for r in neardup_components_star(chain).collect()}
+    assert got == {i: 0 for i in range(61)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(chain, max_iter=10)
+    spark.catalog.clearCache()
+
+
+def test_star_components_match_minlabel_and_unionfind(spark):
+    """Both Spark implementations must land on the union-find ground
+    truth for a seeded random graph with singleton-free clusters of
+    mixed shape (stars, chains, triangles)."""
+    import random
+
+    from urqt_spark.operators.dedup import (
+        neardup_components,
+        neardup_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = set()
+    for _ in range(120):
+        a, b = rng.randrange(80), rng.randrange(80)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+
+    parent = list(range(80))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    truth = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    star = {r.id: r.component for r in neardup_components_star(pairs).collect()}
+    minlab = {r.id: r.component for r in neardup_components(pairs).collect()}
+    assert star == truth
+    assert minlab == truth
+    spark.catalog.clearCache()
+
+
+def test_fuzzy_dedup_resolve_keeps_one_rep_per_cluster(spark):
+    """End of the pipeline: only the min-id representative of each
+    near-dup cluster survives; unclustered docs pass through; the
+    drop-list join is a broadcast (payload never shuffled)."""
+    from urqt_spark.operators.dedup import fuzzy_dedup_resolve
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (6, 7)], ["id_a", "id_b"]
+    )
+    kept = fuzzy_dedup_resolve(docs, pairs)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2, 4, 6]
+    assert "BroadcastHashJoin" in kept._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()

@@ -410,9 +410,13 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     e = pairs.select(
         F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
     )
+    # localCheckpoint per round: ``labels`` feeds the next round TWICE
+    # (the nbr join and the union), so without lineage truncation the
+    # plan doubles per round and the driver OOMs rendering it.  On a
+    # cluster with executor loss, substitute reliable checkpoint().
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("min_nbr"))
@@ -420,7 +424,7 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             F.col("u").alias("id"),
             F.least(F.col("u"), F.col("min_nbr")).alias("label"),
         )
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # candidate label per node: min over (own label, neighbors' labels)
@@ -432,7 +436,7 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -440,17 +444,129 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
-            edges.unpersist()
             return labels.select("id", F.col("label").alias("component"))
-    edges.unpersist()
     raise RuntimeError(
         f"neardup_components did not converge in {max_iter} rounds — "
         f"pathologically deep component chain; use the star-contraction "
         f"variant for this corpus"
     )
+
+
+def _symmetric(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _edge_checksum(e: DataFrame) -> tuple:
+    """(count, XOR of xxhash64(u,v)) — equal for equal edge SETS
+    (inputs are distinct(), so no xor self-cancellation);
+    order-independent, overflow-free under ANSI mode, one action."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("s"),
+    ).head()
+    return (row["n"], row["s"])
+
+
+def neardup_components_star(pairs: DataFrame, max_iter: int = 60) -> DataFrame:
+    """(id, component) via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", 2014) — converges in O(log² n) rounds on ANY graph
+    shape, unlike :func:`neardup_components`'s min-label propagation
+    which needs O(diameter) rounds and refuses pathological chains.
+    Use this variant when the pair graph may contain deep paths
+    (e.g. near-dup chains a~b~c~… from sliding content drift).
+
+    Each round: large-star connects every neighbor larger than u to
+    the neighborhood minimum (emitted big→small, so no self-loops),
+    small-star re-points all smaller neighbors plus u itself at the
+    minimum.  All exchanges carry two longs; convergence is detected
+    by an edge-set checksum (count + wrapped hash sum), one scalar
+    action per round.  At the fixed point every component is a star
+    rooted at its minimum id, which IS the component label.
+
+    Each round's frame is ``localCheckpoint``-ed: iterative self-
+    referential plans otherwise DOUBLE in size per round (``sym`` is
+    built from ``e`` twice) and the driver OOMs just *printing* the
+    plan by round ~10.  Lineage truncation per round is mandatory for
+    any iterate-to-fixed-point DataFrame loop; on a real cluster with
+    executor loss, substitute reliable ``checkpoint()`` to durable
+    storage (same call shape, adds fault tolerance).
+
+    Deterministic (min is order-independent).  Raises after
+    ``max_iter`` rounds instead of returning unconverged labels."""
+    e = (
+        pairs.select(
+            F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias(
+                "u"
+            ),
+            F.least(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _edge_checksum(e)
+    for _ in range(max_iter):
+        # large-star over the symmetric view: m = min(N(u) ∪ {u});
+        # emit (v, m) for v > u — strictly big→small, no self-loops
+        sym = _symmetric(e)
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        e1 = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the directed (big→small) edges: re-point every
+        # smaller neighbor (and u itself) at m = min of that set
+        m2 = e1.groupBy("u").agg(F.min("v").alias("mn"))
+        e2 = (
+            e1.join(m2, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(m2.select("u", F.col("mn").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _edge_checksum(e2)
+        e = e2
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"neardup_components_star did not converge in {max_iter} rounds"
+        )
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.unionByName(roots)
+
+
+def fuzzy_dedup_resolve(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    components=neardup_components_star,
+) -> DataFrame:
+    """The end of the fuzzy-dedup pipeline: given the corpus and its
+    near-dup PAIRS, return only the surviving rows — one representative
+    (the minimum id) per near-dup cluster, every non-clustered row
+    untouched.  pairs → components → broadcast-anti-join the drop list
+    (components are tiny relative to the corpus: only clustered ids
+    appear), so the full-width document payload crosses no shuffle."""
+    comp = components(pairs)
+    drops = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(F.broadcast(drops), on=id_col, how="left_anti")
 
 
 def neardup_components_oracle_sql(pairs_sql: str) -> str:
