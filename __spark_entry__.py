@@ -16,10 +16,29 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from urqt_spark.functions.corpus_filters import (
+    c4_filter_cols,
+    c4_oracle_sql,
+    gopher_quality_cols,
+    gopher_quality_oracle_sql,
+    make_repetition_udf,
+    repetition_oracle_sql,
+    repetition_pass_col,
+    repetition_signals,
+)
 from urqt_spark.functions.scrub import scrub_spark_col, scrub_sql
 from urqt_spark.functions.text import winnow_clone_pairs_oracle_sql, winnow_oracle_sql
+from urqt_spark.operators.decontaminate import (
+    containment_oracle_sql,
+    ngram_containment,
+)
 from urqt_spark.operators.dedup import neardup_components_oracle_sql
 from urqt_spark.operators.grouped_stats import length_stats_oracle_sql
+from urqt_spark.operators.sampling import (
+    hash_threshold_sample,
+    sample_threshold_hex,
+    stratified_quota_sample,
+)
 from urqt_spark.plans.entry_queries import (
     WORD_Q_SQL,
     trim_classes_df,
@@ -122,6 +141,124 @@ def q_langid_markers(spark, sf_dir):
         pred.alias("lang_pred"),
         *[scores[lang].cast("long").alias(f"score_{lang}") for lang in _MARKER_ORDER],
     )
+
+
+#: deterministic doc_id-keyed suffixes (same trick as scrub_injected):
+#: the synthetic corpus has NO punctuation/braces/symbols, so the C4
+#: and symbol-ratio branches would be vacuously true — augmenting the
+#: text identically in Spark and the oracle makes every filter branch
+#: fire on some documents and the hash-match meaningful.
+_QF_AUG_SUFFIXES = [
+    ". Short tail sentence.",  # terminal punct, 2 sentences -> c4 pass
+    " lorem ipsum dolor.",  # placeholder boilerplate -> c4 fail
+    " {brace} tail... ok.",  # code brace + '...' symbols -> c4 fail
+    " plain tail",  # no terminal punct -> c4 fail
+    " ################.",  # symbol-heavy word -> gopher symbol_frac
+]
+
+
+def _aug_docs(spark, sf_dir):
+    d = F.col("doc_id") % 5
+    suffix = F.lit(_QF_AUG_SUFFIXES[-1])
+    for i in range(len(_QF_AUG_SUFFIXES) - 2, -1, -1):
+        suffix = F.when(d == i, F.lit(_QF_AUG_SUFFIXES[i])).otherwise(suffix)
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.concat(F.col("text"), suffix).alias("text")
+    )
+
+
+_QF_AUG_SQL = (
+    "SELECT doc_id, lang, text || CASE doc_id % 5 "
+    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_QF_AUG_SUFFIXES))
+    + " END AS text FROM documents"
+)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-shape screens (Rae et al. 2021 app. A) — pure
+    Catalyst, row-local, codegen-fused: scan → project, no exchange."""
+    return _aug_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *gopher_quality_cols(F.col("text")),
+    )
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 sentence/boilerplate screens (Raffel et al. 2020 §2.2) —
+    pure Catalyst, row-local."""
+    return _aug_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *c4_filter_cols(F.col("text")),
+    )
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher repetition family — one Arrow crossing, O(words) per doc,
+    shuffle-free (oracled against a full relational n-gram expansion)."""
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def q_quality_funnel(spark, sf_dir):
+    """The quality_filter headline composition: ALL three filter
+    families evaluated in a single pass (scan → one ArrowEvalPython →
+    codegen project → partial-agg groupBy(lang)).  One exchange total;
+    at 100 TB this is the shape you want — signals never leave the
+    scan stage, only (lang, 4 bools) reach the shuffle."""
+    rep = make_repetition_udf()
+    r = F.col("_r")
+    flagged = (
+        _aug_docs(spark, sf_dir)
+        .select(
+            "lang",
+            *gopher_quality_cols(F.col("text")),
+            *c4_filter_cols(F.col("text")),
+            rep(F.col("text")).alias("_r"),
+        )
+        .select(
+            "lang",
+            "gopher_pass",
+            "c4_pass",
+            repetition_pass_col(r).alias("repetition_pass"),
+        )
+    )
+    keep = F.col("gopher_pass") & F.col("c4_pass") & F.col("repetition_pass")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("gopher_pass").cast("long")).cast("long").alias("n_gopher"),
+        F.sum(F.col("c4_pass").cast("long")).cast("long").alias("n_c4"),
+        F.sum(F.col("repetition_pass").cast("long")).cast("long").alias("n_repetition"),
+        F.sum(keep.cast("long")).cast("long").alias("n_keep"),
+        F.round(F.sum(keep.cast("long")) / F.count(F.lit(1)), 4).alias("keep_rate"),
+    )
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-hash sampling (rate 0.2, seed 7) — the
+    row-local, partition-independent curation draw."""
+    return hash_threshold_sample(_docs(spark, sf_dir), rate=0.2, seed=7).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language quota draw (40/lang, content-hash order): one
+    exchange on lang + tie-free window rank."""
+    return stratified_quota_sample(
+        _docs(spark, sf_dir), quota=40, strata_col="lang", seed=3
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "sample_rank")
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Benchmark decontamination: per-doc fraction of distinct 5-gram
+    shingles that collide with a (deterministic pseudo-)eval set
+    (doc_id % 97 == 0 — every 97th document stands in for a benchmark
+    corpus, so docs in the eval subset have containment 1.0 and true
+    near-copies score high).  Plan: scan → codegen shingle project →
+    explode → **BroadcastHashJoin** against the small eval shingle
+    table → thin (doc_id, 2 longs) partial-agg groupBy."""
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    return ngram_containment(docs, eval_df, n=5, threshold=0.5)
 
 
 BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -1041,6 +1178,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_heuristics": q_quality_heuristics,
         "langid_markers": q_langid_markers,
+        "gopher_quality": q_gopher_quality,
+        "c4_filters": q_c4_filters,
+        "repetition_signals": q_repetition_signals,
+        "quality_funnel": q_quality_funnel,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "ngram_containment": q_ngram_containment,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_stats": q_bpe_token_stats,
         "top_ngrams": q_top_ngrams,
@@ -1176,6 +1320,45 @@ def oracle_sql() -> dict[str, str]:
                    {pred_expr} AS lang_pred,
                    {", ".join(f"{marker_score[lang]} AS score_{lang}" for lang in _MARKER_ORDER)}
             FROM documents""",
+        "gopher_quality": f"WITH aug AS ({_QF_AUG_SQL}) {gopher_quality_oracle_sql(relation='aug')}",
+        "c4_filters": f"WITH aug AS ({_QF_AUG_SQL}) {c4_oracle_sql(relation='aug')}",
+        "repetition_signals": repetition_oracle_sql(),
+        "quality_funnel": f"""
+            WITH aug AS ({_QF_AUG_SQL}),
+                 g AS ({gopher_quality_oracle_sql(relation="aug")}),
+                 c AS ({c4_oracle_sql(relation="aug")}),
+                 r AS (SELECT * FROM ({repetition_oracle_sql(relation="aug")})),
+                 d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents)
+            SELECT d.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+                   CAST(SUM(CASE WHEN c.c4_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_c4,
+                   CAST(SUM(CASE WHEN r.repetition_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+                   CAST(SUM(CASE WHEN g.gopher_pass AND c.c4_pass AND r.repetition_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   ROUND(CAST(SUM(CASE WHEN g.gopher_pass AND c.c4_pass AND r.repetition_pass THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 4) AS keep_rate
+            FROM d
+            JOIN g USING (doc_id)
+            JOIN c USING (doc_id)
+            JOIN r USING (doc_id)
+            GROUP BY d.lang""",
+        "hash_sample": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+            FROM documents
+            WHERE substr(sha256(CAST(doc_id AS VARCHAR) || ':7'), 1, 12)
+                  < '{sample_threshold_hex(0.2)}'""",
+        "stratified_sample": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST(rk AS BIGINT) AS sample_rank
+            FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(sha256(CAST(doc_id AS VARCHAR) || ':3'), 1, 12),
+                                doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 40""",
+        "ngram_containment": containment_oracle_sql(n=5, threshold=0.5),
         "doc_fingerprint": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint

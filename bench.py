@@ -170,6 +170,23 @@ def main() -> None:
 
     # -- flagship: full pipeline (trim kernel + heuristics + langid +
     #    perplexity + scrub) over the synthetic code corpus
+    # SHUFFLE-FREE flagship: the fused chain is row-local, so instead
+    # of the salted repartition the scan itself is split byte-balanced
+    # — ~8 scan tasks per slot (parquet row-group granularity; the
+    # cached corpus has ~1.4 MB row groups).  Zero exchanges; measured
+    # ~13-17% faster than the shuffled variant at local[4] (200k files)
+    # and the plan shape a 100-TB deployment runs.
+    corpus_bytes = (
+        os.path.getsize(corpus_path)
+        if os.path.isfile(corpus_path)
+        else sum(
+            os.path.getsize(os.path.join(corpus_path, f))
+            for f in os.listdir(corpus_path)
+            if f.endswith(".parquet")
+        )
+    )
+    split = max(corpus_bytes // (cpus * 8) + 1, 1 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     corpus = spark.read.parquet(corpus_path)
     # 8 partitions per slot: the UDF stage is the job, and a fine
     # partition grain cuts the last-wave straggler tail (measured 29s ->
@@ -177,7 +194,7 @@ def main() -> None:
     cfg = FilterConfig(shuffle_partitions=max(8 * cpus, 16))
 
     def flagship():
-        return quality_filter_plan(corpus, cfg).select(*OUT_COLS)
+        return quality_filter_plan(corpus, cfg, repartition=False).select(*OUT_COLS)
 
     # warmup: JVM JIT + python-worker spawn/imports.  Sample the INPUT
     # (pushed into the scan) — sampling the output would run the full
@@ -188,7 +205,9 @@ def main() -> None:
     timed(
         "warmup",
         lambda: force(
-            quality_filter_plan(corpus.sample(0.05, seed=1), cfg).select(*OUT_COLS),
+            quality_filter_plan(
+                corpus.sample(0.05, seed=1), cfg, repartition=False
+            ).select(*OUT_COLS),
             "warm",
         ),
     )
@@ -211,8 +230,15 @@ def main() -> None:
     )
     timed(
         "quality_filter_trim_only",
-        lambda: metrics(quality_filter_plan(corpus, cfg_fast)).collect(),
+        lambda: metrics(
+            quality_filter_plan(corpus, cfg_fast, repartition=False)
+        ).collect(),
     )
+
+    # restore the default split size: only the flagship wants the
+    # fine byte-balanced grain; the operator queries below read the
+    # small driver tables and should keep their round-3-comparable scans
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
 
     # -- operator queries over the driver tables (bounded set; the full
     #    catalogue runs under the driver's CORRECTNESS gate instead)
@@ -235,6 +261,11 @@ def main() -> None:
         ("lsh_ann_pairs", 1),
         ("ivf_ann_topk", 2),
         ("ivf_neardup", 1),
+        ("quality_funnel", 1),
+        ("ngram_containment", 1),
+        ("repetition_signals", 1),
+        ("hash_sample", 1),
+        ("stratified_sample", 1),
         ("pricing_summary", 1),
         ("order_drop_propagation", 1),
         ("events_sessions", 1),

@@ -1,0 +1,168 @@
+"""Corpus quality filters (Gopher/C4/repetition) and deterministic
+sampling — unit semantics plus the shuffle-free plan contracts."""
+
+import pytest
+
+from urqt_spark.functions.corpus_filters import (
+    c4_filter_cols,
+    gopher_quality_cols,
+    repetition_signals,
+    _dup_char_frac,
+)
+from urqt_spark.operators.sampling import (
+    hash_threshold_sample,
+    sample_threshold_hex,
+    stratified_quota_sample,
+)
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- repetition ------------------------------------------------------------
+
+
+def test_dup_char_frac_counts_all_duplicated_grams():
+    # "a b a b a" → 2-grams: [a b, b a, a b, b a]; all occur ≥2 →
+    # dup chars = 4 grams × 3 chars = 12 over total 9 chars
+    grams = ["a b", "b a", "a b", "b a"]
+    assert _dup_char_frac(grams, 9) == 12 / 9
+    assert _dup_char_frac([], 9) == 0.0
+    assert _dup_char_frac(["x y"], 0) == 0.0
+
+
+def test_repetition_signals_basic(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here differ completely"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    assert out[1]["top_word_count"] == 4
+    assert out[1]["top_word_frac"] == 1.0
+    # 2-grams of doc1: "spam spam" ×3 → dup covers 3*9=27 chars / 19
+    assert out[1]["top_2gram_count"] == 3
+    assert not out[1]["repetition_pass"]
+    assert out[2]["top_word_count"] == 1
+    assert out[2]["dup_2gram_char_frac"] == 0.0
+    assert out[2]["repetition_pass"]
+
+
+def test_repetition_signals_is_shuffle_free(spark):
+    df = _docs(spark, [(1, "a b c")])
+    plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+# --- gopher / c4 -----------------------------------------------------------
+
+
+def test_gopher_cols_shape(spark):
+    text = " ".join(["the quick brown fox jumps over lazy dogs now ok"] * 3)
+    row = (
+        _docs(spark, [(1, text)])
+        .select("doc_id", *gopher_quality_cols(F.col("text")))
+        .collect()[0]
+    )
+    assert row["n_words"] == 30
+    assert row["stopword_hits"] == 3  # 'the' ×3
+    assert row["alpha_word_frac"] == 1.0
+    assert row["gopher_pass"]
+
+
+def test_gopher_fails_short_and_symbolic(spark):
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in _docs(
+            spark,
+            [
+                (1, "too short"),
+                (2, "the " + "#### " * 30 + "end"),
+            ],
+        )
+        .select("doc_id", *gopher_quality_cols(F.col("text")))
+        .collect()
+    }
+    assert not rows[1]["gopher_pass"]  # n_words < MIN_WORDS
+    assert rows[2]["symbol_frac"] > 0.1
+    assert not rows[2]["gopher_pass"]
+
+
+def test_c4_filters(spark):
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in _docs(
+            spark,
+            [
+                (1, "One sentence. Two sentences!"),
+                (2, "no terminal punct"),
+                (3, "code { block }."),
+                (4, "Lorem Ipsum dolor sit."),
+            ],
+        )
+        .select("doc_id", *c4_filter_cols(F.col("text")))
+        .collect()
+    }
+    assert rows[1]["c4_pass"] and rows[1]["n_sentences"] == 2
+    assert not rows[2]["c4_pass"] and not rows[2]["ends_with_punct"]
+    assert not rows[3]["c4_pass"] and rows[3]["has_brace"]
+    assert not rows[4]["c4_pass"] and rows[4]["has_lorem"]
+
+
+# --- sampling --------------------------------------------------------------
+
+
+def test_sample_threshold_hex():
+    assert sample_threshold_hex(0.0) == "000000000000"
+    assert sample_threshold_hex(1.0) == "ffffffffffff"
+    assert sample_threshold_hex(0.5) == "800000000000"
+    with pytest.raises(ValueError):
+        sample_threshold_hex(1.5)
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in hash_threshold_sample(df, 0.2, seed=7).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_threshold_sample(df.repartition(13), 0.2, seed=7).collect()
+    }
+    assert a == b  # content-keyed: layout cannot change the kept set
+    assert 0.15 < len(a) / 2000 < 0.25
+    c = {r["doc_id"] for r in hash_threshold_sample(df, 0.2, seed=8).collect()}
+    assert a != c  # seed moves the draw
+
+
+def test_hash_sample_plan_has_no_exchange(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = (
+        hash_threshold_sample(df, 0.5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_stratified_quota_sample(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    out = stratified_quota_sample(df, quota=10, strata_col="lang", seed=3)
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert sorted(by_lang["en"]) == list(range(1, 11))
+    assert sorted(by_lang["fr"]) == list(range(1, 11))
+    # reproducible under re-layout
+    again = stratified_quota_sample(
+        df.repartition(7), quota=10, strata_col="lang", seed=3
+    )
+    assert {(r["doc_id"]) for r in again.collect()} == {r["doc_id"] for r in rows}
+    with pytest.raises(ValueError):
+        stratified_quota_sample(df, quota=0)

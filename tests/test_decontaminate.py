@@ -1,0 +1,85 @@
+"""Benchmark decontamination — semantics plus the broadcast-join plan
+contract (the corpus side must never shuffle its text)."""
+
+from pyspark.sql import functions as F
+
+from urqt_spark.operators.decontaminate import (
+    decontaminate,
+    ngram_containment,
+    shingle_col,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingle_col_basic(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, "x y z")])
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", shingle_col(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n -> empty, never flagged
+    assert out[3] == ["x y z"]
+
+
+def test_shingles_are_distinct(spark):
+    df = _docs(spark, [(1, "a b a b a b")])
+    [row] = df.select(shingle_col(F.col("text"), 2).alias("sh")).collect()
+    assert sorted(row["sh"]) == ["a b", "b a"]
+
+
+def test_containment_flags_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps somewhere else entirely today"),
+            (3, "completely unrelated words about nothing in particular here"),
+            (4, "too short"),
+        ],
+    )
+    eval_df = _docs(spark, [(100, "the quick brown fox jumps over a fence")])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_containment(docs, eval_df, n=5, threshold=0.3).collect()
+    }
+    # doc1 shares "the quick brown fox jumps" and "quick brown fox
+    # jumps over" with the eval text -> 2 of its 5 shingles
+    assert out[1]["n_matched"] == 2
+    assert out[1]["containment"] == 2 / 5
+    assert out[1]["contaminated"]
+    assert out[3]["n_matched"] == 0 and not out[3]["contaminated"]
+    assert out[4]["n_shingles"] == 0 and out[4]["containment"] == 0.0
+    # every input doc appears exactly once (explode_outer keeps shorties)
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_decontaminate_drops_only_flagged(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+    )
+    eval_df = _docs(spark, [(9, "alpha beta gamma delta epsilon zeta eta")])
+    kept = decontaminate(docs, eval_df, n=5, threshold=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_containment_plan_broadcasts_eval_side(spark):
+    docs = _docs(spark, [(i, f"w{i} a b c d e f") for i in range(20)])
+    eval_df = _docs(spark, [(0, "a b c d e f g")])
+    plan = (
+        ngram_containment(docs, eval_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only exchange is the thin (doc_id, longs) aggregate — the
+    # corpus text reaches no shuffle
+    assert "SortMergeJoin" not in plan

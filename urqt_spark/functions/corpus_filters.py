@@ -1,0 +1,365 @@
+"""Corpus-level quality filters for LLM training-data curation.
+
+The canonical heuristic families a web-scale pipeline runs between
+ingestion and training (public method descriptions: Gopher / Rae et
+al. 2021 appendix A; C4 / Raffel et al. 2020 §2.2), re-expressed for
+this engine's `documents` table (single-line docs — word-level
+analogues replace the line/paragraph rules):
+
+* :func:`repetition_signals` — Gopher's repetition family: the top
+  word / n-gram multiplicity and the fraction of characters inside
+  DUPLICATED n-grams.  Aggregate (sum / max) definitions only, so
+  every signal is tie-free and integer-exact across engines.
+* :func:`gopher_quality_cols` — the document-shape family: word
+  count bounds, mean word length bounds, symbol ratio, alphabetic-
+  word fraction, stopword count.
+* :func:`c4_filter_cols` — C4-style sentence/boilerplate screens:
+  terminal punctuation, sentence count, brace and "lorem ipsum"
+  markers.
+
+Execution shape (the 100-TB contract): every signal here is
+ROW-LOCAL — no groupBy, no join, no shuffle; the plan is scan →
+project → (optional) filter, so it scales embarrassingly and fuses
+into any pipeline stage.  The shape/C4 families are pure Catalyst
+column expressions (whole-stage codegen, no Python).  The repetition
+family needs per-document multiset counting, which Catalyst higher-
+order functions can only express as an O(words²) distinct×filter
+scan — quadratic per document is a scale-killer on 100k-word web
+documents, so it runs as ONE Arrow-batched pandas UDF doing an O(n)
+Counter pass per doc (the documented fallback when built-ins can't
+express the semantics linearly).
+
+Reference parity: these generalize the reference's per-read QC
+screens (min-size filter ``UrQt.cpp:757-763``, %-above-threshold
+filter ``UrQt.cpp:744-756``) from phred quality to corpus-text
+quality.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from urqt_spark.functions.text import STOPWORDS
+
+# --- thresholds (documented Gopher/C4 values, scaled to the synthetic
+# docs table whose documents are ~10-60 words) -------------------------
+MIN_WORDS = 20  # Gopher: 50 (web pages); docs here are 10-100 words
+MAX_WORDS = 100_000
+MEAN_WORD_LEN_MIN = 2.0  # Gopher: 3
+MEAN_WORD_LEN_MAX = 12.0  # Gopher: 10
+MAX_SYMBOL_FRAC = 0.1  # Gopher: '#' and '...' mass
+MIN_ALPHA_WORD_FRAC = 0.6  # Gopher: 0.8
+MIN_STOPWORDS = 1  # Gopher: 2 of a fixed inventory
+MAX_TOP_WORD_FRAC = 0.20  # Gopher: top-ngram char fractions
+MAX_DUP_NGRAM_CHAR_FRAC = 0.30
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-shape family — pure Catalyst, codegen-fused
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality_cols(text: Column) -> list[Column]:
+    """Column list (n_words, mean_word_len, symbol_frac,
+    alpha_word_frac, stopword_hits, gopher_pass) — all JVM-side.
+
+    Ratio columns are rounded to 4 decimals for stable cross-engine
+    comparison; the PASS FLAGS compare the unrounded doubles, which
+    are bit-identical across engines (same integer operands, same
+    IEEE division)."""
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    mean_wl = (n_chars - (n_words - 1)) / n_words  # chars sans separators
+    # '#' characters and '...' occurrences (each counted as 3 chars)
+    n_symbol = (
+        F.length(text)
+        - F.length(F.replace(text, F.lit("#"), F.lit("")))
+        + 3 * F.regexp_count(text, F.lit(r"\.\.\."))
+    )
+    symbol_frac = n_symbol / n_chars
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = alpha_words / n_words
+    stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(list(STOPWORDS))))
+    gopher_pass = (
+        (n_words >= MIN_WORDS)
+        & (n_words <= MAX_WORDS)
+        & (mean_wl >= MEAN_WORD_LEN_MIN)
+        & (mean_wl <= MEAN_WORD_LEN_MAX)
+        & (symbol_frac <= MAX_SYMBOL_FRAC)
+        & (alpha_frac >= MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= MIN_STOPWORDS)
+    )
+    return [
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_frac, 4).alias("symbol_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        gopher_pass.alias("gopher_pass"),
+    ]
+
+
+def gopher_quality_oracle_sql(
+    stopwords: frozenset[str] | None = None, relation: str = "documents"
+) -> str:
+    """DuckDB scalar expressions mirroring :func:`gopher_quality_cols`
+    over a relation exposing (doc_id, text)."""
+    stops = ",".join(f"'{s}'" for s in sorted(stopwords or STOPWORDS))
+    nw = "len(string_split(text, ' '))"
+    nc = "length(text)"
+    mean_wl = f"(CAST({nc} - ({nw} - 1) AS DOUBLE) / {nw})"
+    n_symbol = (
+        f"(length(text) - length(replace(text, '#', ''))"
+        f" + 3 * (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3)"
+    )
+    symbol_frac = f"(CAST({n_symbol} AS DOUBLE) / {nc})"
+    alpha = (
+        "len(list_filter(string_split(text, ' '), "
+        "w -> regexp_matches(w, '[A-Za-z]')))"
+    )
+    alpha_frac = f"(CAST({alpha} AS DOUBLE) / {nw})"
+    stop_hits = (
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains([{stops}], lower(w))))"
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({nw} AS BIGINT) AS n_words,
+               ROUND({mean_wl}, 4) AS mean_word_len,
+               ROUND({symbol_frac}, 4) AS symbol_frac,
+               ROUND({alpha_frac}, 4) AS alpha_word_frac,
+               CAST({stop_hits} AS BIGINT) AS stopword_hits,
+               ({nw} >= {MIN_WORDS} AND {nw} <= {MAX_WORDS}
+                AND {mean_wl} >= {MEAN_WORD_LEN_MIN} AND {mean_wl} <= {MEAN_WORD_LEN_MAX}
+                AND {symbol_frac} <= {MAX_SYMBOL_FRAC}
+                AND {alpha_frac} >= {MIN_ALPHA_WORD_FRAC}
+                AND {stop_hits} >= {MIN_STOPWORDS}) AS gopher_pass
+        FROM {relation}"""
+
+
+# ---------------------------------------------------------------------------
+# C4 sentence/boilerplate family — pure Catalyst, codegen-fused
+# ---------------------------------------------------------------------------
+
+
+def c4_filter_cols(text: Column) -> list[Column]:
+    """Column list (ends_with_punct, n_sentences, has_brace,
+    has_lorem, c4_pass) — C4's per-page screens on one-line docs:
+    the text must end in terminal punctuation, carry ≥ 1 sentence
+    boundary, and show no code-brace or placeholder-text
+    boilerplate."""
+    ends_punct = text.rlike("[.!?]$")
+    n_sentences = F.regexp_count(text, F.lit(r"[.!?]"))
+    has_brace = text.contains("{") | text.contains("}")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    c4_pass = ends_punct & (n_sentences >= 1) & ~has_brace & ~has_lorem
+    return [
+        ends_punct.alias("ends_with_punct"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        c4_pass.alias("c4_pass"),
+    ]
+
+
+def c4_oracle_sql(relation: str = "documents") -> str:
+    """DuckDB mirror of :func:`c4_filter_cols` over (doc_id, text)."""
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_matches(text, '[.!?]$') AS ends_with_punct,
+           CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+           (contains(text, '{{') OR contains(text, '}}')) AS has_brace,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           (regexp_matches(text, '[.!?]$')
+            AND (length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))) >= 1
+            AND NOT (contains(text, '{{') OR contains(text, '}}'))
+            AND NOT contains(lower(text), 'lorem ipsum')) AS c4_pass
+    FROM {relation}"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition family — row-local O(n) Counter pass, one Arrow
+# crossing, NO shuffle
+# ---------------------------------------------------------------------------
+
+_REP_FIELDS = [
+    ("top_word_count", LongType()),
+    ("top_word_frac", DoubleType()),
+    ("top_2gram_count", LongType()),
+    ("top_3gram_count", LongType()),
+    ("dup_2gram_char_frac", DoubleType()),
+    ("dup_3gram_char_frac", DoubleType()),
+]
+_REP_SCHEMA = StructType([StructField(n, t, False) for n, t in _REP_FIELDS])
+
+
+def _dup_char_frac(grams: list[str], total_chars: int) -> float:
+    """Fraction of characters covered by n-grams occurring ≥ 2 times:
+    Σ_{g: cnt(g)≥2} cnt(g)·chars(g) / total_chars.  A SUM over the
+    full multiset — deterministic under count ties, unlike 'chars of
+    THE most frequent n-gram' (ambiguous when counts tie)."""
+    if not grams or total_chars == 0:
+        return 0.0
+    c = Counter(grams)
+    dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+    return dup / total_chars
+
+
+def make_repetition_udf():
+    """Pandas UDF text → struct of repetition signals.
+
+    Why a UDF (and not HOFs): per-doc n-gram multiplicity is a
+    multiset count; Catalyst can only phrase it as
+    ``array_distinct × filter`` — O(n²) per document, which at
+    100k-word web docs is 10¹⁰ comparisons.  The Counter pass is
+    O(n) per doc, Arrow-batched, and the plan stays shuffle-free."""
+
+    @F.pandas_udf(_REP_SCHEMA)
+    def rep_udf(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        out = {name: np.zeros(n, dtype=object) for name, _ in _REP_FIELDS}
+        for i in range(n):
+            t = texts.iloc[i] or ""
+            words = t.split(" ") if t else []
+            nw = len(words)
+            nchars = len(t)
+            if nw == 0:
+                row = (0, 0.0, 0, 0, 0.0, 0.0)
+            else:
+                wc = Counter(words)
+                top_w = max(wc.values())
+                g2 = [" ".join(words[j : j + 2]) for j in range(nw - 1)]
+                g3 = [" ".join(words[j : j + 3]) for j in range(nw - 2)]
+                # ratios stay UNROUNDED: integer/integer IEEE division
+                # is bit-identical across engines, while decimal
+                # rounding of exact ties (5/32 = .15625) diverges
+                # (Python round-half-even vs DuckDB half-away)
+                row = (
+                    top_w,
+                    top_w / nw,
+                    max(Counter(g2).values()) if g2 else 0,
+                    max(Counter(g3).values()) if g3 else 0,
+                    _dup_char_frac(g2, nchars),
+                    _dup_char_frac(g3, nchars),
+                )
+            for (name, _), v in zip(_REP_FIELDS, row):
+                out[name][i] = v
+        return pd.DataFrame(
+            {
+                name: pd.Series(out[name]).astype(
+                    "int64" if isinstance(t, LongType) else "float64"
+                )
+                for name, t in _REP_FIELDS
+            }
+        )
+
+    return rep_udf
+
+
+def repetition_pass_col(r: Column) -> Column:
+    """Pass flag over the repetition-signal struct (unrounded fracs —
+    bit-identical integer-division doubles in both engines)."""
+    return (
+        (r["top_word_frac"] <= MAX_TOP_WORD_FRAC)
+        & (r["dup_2gram_char_frac"] <= MAX_DUP_NGRAM_CHAR_FRAC)
+        & (r["dup_3gram_char_frac"] <= MAX_DUP_NGRAM_CHAR_FRAC)
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, 6 repetition signals, repetition_pass) per document.
+    Plan: scan → ONE ArrowEvalPython → project.  No exchange."""
+    rep = make_repetition_udf()
+    r = F.col("_r")
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            rep(F.col(text_col)).alias("_r"),
+        )
+        .select(
+            id_col,
+            *[r[name].alias(name) for name, _ in _REP_FIELDS],
+            repetition_pass_col(r).alias("repetition_pass"),
+        )
+    )
+
+
+def repetition_oracle_sql(relation: str = "documents") -> str:
+    """Full relational n-gram expansion mirroring
+    :func:`repetition_signals` — the oracle pays the quadratic join the
+    UDF avoids; gate-scale only."""
+    return f"""
+    WITH words AS (
+      SELECT doc_id, length(text) AS nchars,
+             string_split(text, ' ') AS ws
+      FROM {relation} WHERE length(text) > 0
+    ),
+    w AS (
+      SELECT doc_id, nchars, len(ws) AS nw, unnest(ws) AS word,
+             unnest(range(len(ws))) AS i
+      FROM words
+    ),
+    wc AS (
+      SELECT doc_id, MAX(c) AS top_word_count
+      FROM (SELECT doc_id, COUNT(*) AS c FROM w GROUP BY doc_id, word)
+      GROUP BY doc_id
+    ),
+    g2 AS (
+      SELECT a.doc_id, a.word || ' ' || b.word AS g
+      FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    g2c AS (
+      SELECT doc_id, g, COUNT(*) AS c, length(g) AS chars
+      FROM g2 GROUP BY doc_id, g
+    ),
+    g2s AS (
+      SELECT doc_id, MAX(c) AS top2,
+             COALESCE(SUM(CASE WHEN c >= 2 THEN c * chars END), 0) AS dup2
+      FROM g2c GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS g
+      FROM w a
+      JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    g3c AS (
+      SELECT doc_id, g, COUNT(*) AS c, length(g) AS chars
+      FROM g3 GROUP BY doc_id, g
+    ),
+    g3s AS (
+      SELECT doc_id, MAX(c) AS top3,
+             COALESCE(SUM(CASE WHEN c >= 2 THEN c * chars END), 0) AS dup3
+      FROM g3c GROUP BY doc_id
+    ),
+    base AS (SELECT DISTINCT doc_id, nchars, nw FROM w)
+    SELECT CAST(base.doc_id AS BIGINT) AS doc_id,
+           CAST(wc.top_word_count AS BIGINT) AS top_word_count,
+           CAST(wc.top_word_count AS DOUBLE) / base.nw AS top_word_frac,
+           CAST(COALESCE(g2s.top2, 0) AS BIGINT) AS top_2gram_count,
+           CAST(COALESCE(g3s.top3, 0) AS BIGINT) AS top_3gram_count,
+           CAST(COALESCE(g2s.dup2, 0) AS DOUBLE) / base.nchars AS dup_2gram_char_frac,
+           CAST(COALESCE(g3s.dup3, 0) AS DOUBLE) / base.nchars AS dup_3gram_char_frac,
+           (CAST(wc.top_word_count AS DOUBLE) / base.nw <= {MAX_TOP_WORD_FRAC}
+            AND CAST(COALESCE(g2s.dup2, 0) AS DOUBLE) / base.nchars <= {MAX_DUP_NGRAM_CHAR_FRAC}
+            AND CAST(COALESCE(g3s.dup3, 0) AS DOUBLE) / base.nchars <= {MAX_DUP_NGRAM_CHAR_FRAC}) AS repetition_pass
+    FROM base
+    JOIN wc USING (doc_id)
+    LEFT JOIN g2s USING (doc_id)
+    LEFT JOIN g3s USING (doc_id)"""

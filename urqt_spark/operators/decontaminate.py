@@ -1,0 +1,171 @@
+"""Benchmark decontamination — n-gram containment against an eval set.
+
+Before training, every serious LLM corpus is screened for documents
+that overlap the evaluation benchmarks (the GPT-3 appendix-C /
+PaLM-style "13-gram collision" rule, public method).  The operator
+computes, per document, the fraction of its distinct word n-gram
+shingles that also occur in an eval-set corpus, and flags documents
+whose containment exceeds a threshold.
+
+Execution shape (the 100-TB contract):
+
+* The eval side is SMALL by construction (benchmarks are thousands of
+  documents, the corpus is billions) — its distinct-shingle table is
+  **broadcast**, so the corpus side never shuffles its text: the plan
+  is scan → shingle project → explode → **BroadcastHashJoin** →
+  partial-count groupBy(doc_id).  The only exchange carries
+  ``(doc_id, two longs)`` — thin by design, same discipline as the
+  LSH id-only exchanges (`operators/dedup.py`).
+* Shingling is pure Catalyst (``split`` → ``sequence`` → ``slice`` →
+  ``concat_ws`` under ``transform``) — whole-stage codegen, no
+  Python.  At petabyte scale you would hash each shingle to a long
+  before the exchange (``xxhash64``); the string form is kept here
+  because the DuckDB oracle must evaluate the identical keys, and the
+  broadcast side is small either way.
+
+Reference parity: the reference has no corpus-overlap notion; this is
+part of the training-data layer (SURVEY.md §2.2) like dedup/sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N = 5  # word-shingle order; public rules use 8-13 on web text,
+#               scaled down for the 10-60-word synthetic docs
+
+
+def shingle_col(text, n: int = DEFAULT_N):
+    """Distinct word ``n``-gram shingles of a text column, as an
+    array<string> — pure Catalyst (codegen), no UDF.
+
+    ``slice`` is 1-based; docs with fewer than ``n`` words yield an
+    empty array (→ containment 0, never flagged)."""
+    words = F.split(text, " ")
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def eval_shingles(eval_df: DataFrame, text_col: str = "text", n: int = DEFAULT_N) -> DataFrame:
+    """Distinct shingle table of the eval corpus — the broadcast side."""
+    return (
+        eval_df.select(F.explode(shingle_col(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_containment(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_matched, containment, contaminated).
+
+    ``containment`` = |distinct doc shingles ∩ eval shingles| /
+    |distinct doc shingles| (0.0 for docs too short to shingle);
+    ``contaminated`` = containment > ``threshold``.
+
+    Ratios are UNROUNDED long/long IEEE divisions — bit-identical
+    across engines (see functions/corpus_filters.py on rounding ties).
+    """
+    ev = F.broadcast(eval_shingles(eval_df, text_col, n).withColumn("hit", F.lit(1)))
+    ex = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode_outer(shingle_col(F.col(text_col), n)).alias("shingle"),
+    )
+    agg = (
+        ex.join(ev, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("shingle").cast("long").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_matched"),
+        )
+    )
+    containment = F.when(
+        F.col("n_shingles") > 0, F.col("n_matched") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_matched",
+        containment.alias("containment"),
+        (containment > F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop contaminated documents; the production sink path.
+
+    Join back is on ``doc_id`` only (two thin frames); the kept rows
+    stream from the original scan."""
+    flags = ngram_containment(docs, eval_df, n, threshold, text_col, id_col)
+    bad = flags.where("contaminated").select(id_col)
+    return docs.join(
+        F.broadcast(bad), on=docs[id_col].cast("long") == bad[id_col], how="left_anti"
+    )
+
+
+def containment_oracle_sql(
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+    relation: str = "documents",
+    eval_relation: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`ngram_containment`.
+
+    ``eval_relation`` defaults to a deterministic pseudo-eval subset
+    (doc_id % 97 == 0) of ``relation`` — the same rule the entry query
+    uses, so gates need no extra fixture table."""
+    ev = eval_relation or (
+        f"(SELECT text FROM {relation} WHERE doc_id % 97 = 0)"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(ws[i + 1 : i + {n}], ' ')
+                            FOR i IN range(0, len(ws) - {n - 1})]) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {relation})
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(ws[i + 1 : i + {n}], ' ')
+                FOR i IN range(0, len(ws) - {n - 1})])) AS shingle
+      FROM (SELECT string_split(text, ' ') AS ws FROM {ev} e)
+    ),
+    ex AS (SELECT doc_id, unnest(grams) AS shingle FROM sh),
+    agg AS (
+      SELECT ex.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+      FROM ex LEFT JOIN ev USING (shingle)
+      GROUP BY ex.doc_id
+    ),
+    base AS (SELECT doc_id FROM {relation})
+    SELECT CAST(base.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(agg.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(agg.n_matched, 0) AS BIGINT) AS n_matched,
+           CASE WHEN COALESCE(agg.n_shingles, 0) > 0
+                THEN CAST(agg.n_matched AS DOUBLE) / agg.n_shingles
+                ELSE 0.0 END AS containment,
+           (CASE WHEN COALESCE(agg.n_shingles, 0) > 0
+                 THEN CAST(agg.n_matched AS DOUBLE) / agg.n_shingles
+                 ELSE 0.0 END) > {threshold} AS contaminated
+    FROM base LEFT JOIN agg USING (doc_id)"""

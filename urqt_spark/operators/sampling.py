@@ -1,0 +1,104 @@
+"""Deterministic corpus-curation sampling.
+
+A web-scale curation pipeline needs REPRODUCIBLE subsetting — the same
+(seed, rate) must select the same documents on every run, on any
+cluster layout, under any partitioning.  Spark's ``df.sample`` is
+partition-order dependent (rerunning after a repartition changes the
+kept set), so both operators here derive the decision purely from row
+CONTENT:
+
+* :func:`hash_threshold_sample` — keep a document iff the first 12 hex
+  chars of ``sha256(key || ':' || seed)`` are lexicographically below
+  a threshold derived from ``rate``.  ROW-LOCAL: scan → project →
+  filter, no shuffle, no state; at 100 TB this is the only sampling
+  shape that costs nothing beyond the scan.  Lowercase-hex
+  lexicographic order equals numeric order, so the kept fraction is
+  ``floor(rate·16^12)/16^12`` in expectation and the predicate is a
+  plain string compare both engines evaluate identically.
+
+* :func:`stratified_quota_sample` — per-stratum (e.g. per-language)
+  top-``quota`` documents in content-hash order, i.e. a deterministic
+  uniform draw WITHOUT replacement of fixed size per stratum — the
+  "balanced subcorpus" primitive (cap English, keep all of a low-
+  resource language).  Cost: ONE hash exchange on the stratum key +
+  per-partition top-k; sha keys are unique so ranking is tie-free.
+  Skew note: strata counts are Zipfian but the shuffled rows carry
+  only (key-cols, hash) — a hot stratum of 10^9 rows shuffles two
+  thin columns, and the rank filter truncates at ``quota`` during the
+  window scan; for quotas ≪ stratum size prefer pre-filtering with
+  :func:`hash_threshold_sample` at ~2·quota/|stratum| first.
+
+Reference parity: the reference samples reads for its EP2 composition
+estimate via a fixed modulus on the read index (``UrQt.cpp:689-704``);
+content-hash thresholding is the same fixed-fraction deterministic
+draw made order- and partition-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX_DIGITS = 12  # 16^12 granularity: rate resolution ~3.6e-16·16^12 ≈ 6e-2 ppm
+
+
+def sample_threshold_hex(rate: float, hex_digits: int = HEX_DIGITS) -> str:
+    """Lowercase-hex threshold T such that P[prefix < T] = rate (up to
+    1/16^hex_digits).  Raises on rate outside [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    t = int(rate * (16**hex_digits))
+    return format(min(t, 16**hex_digits - 1), f"0{hex_digits}x")
+
+
+def sample_hash_col(key, seed: int):
+    """First HEX_DIGITS lowercase-hex chars of sha256(key || ':' || seed).
+
+    Engine-portable: Spark ``sha2(...,256)`` and DuckDB ``sha256``
+    both emit lowercase hex, so the oracle expression is
+    ``substr(sha256(key || ':<seed>'), 1, 12)``."""
+    return F.substring(
+        F.sha2(F.concat(key.cast("string"), F.lit(f":{seed}")), 256), 1, HEX_DIGITS
+    )
+
+
+def hash_threshold_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided per-row from content hash.
+
+    Plan: scan → project(sha2 prefix) → filter(string <).  No
+    exchange; the predicate is deterministic under any partitioning,
+    so incremental re-runs over new partitions select consistently."""
+    h = sample_hash_col(F.col(key_col), seed)
+    return df.where(h < F.lit(sample_threshold_hex(rate)))
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    quota: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """At most ``quota`` rows per stratum, drawn uniformly (content-
+    hash order) and reproducibly.  Adds ``sample_rank`` (1-based,
+    tie-free because sha prefixes of distinct keys collide with
+    p ≈ 16^-12 per pair).
+
+    Plan: ONE exchange on ``strata_col`` → running window rank →
+    filter.  The window needs no global sort — Spark sorts within
+    partitions only."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    h = sample_hash_col(F.col(key_col), seed).alias("_sample_hash")
+    w = Window.partitionBy(strata_col).orderBy(F.col("_sample_hash"), F.col(key_col))
+    return (
+        df.select("*", h)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= quota)
+        .drop("_sample_hash")
+    )
