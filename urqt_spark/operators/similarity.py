@@ -367,16 +367,41 @@ def ivf_centroids(
     return out
 
 
-def _sq_dist(vec, centroid_lits):
-    """Sequential-fold squared L2 distance — the same left-to-right
-    double adds DuckDB's list_sum performs, so per-row distances are
-    bit-identical engine-to-engine and the argmin never flips."""
-    c = F.array(*[F.lit(float(v)) for v in centroid_lits])
-    return F.aggregate(
-        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def make_ivf_assign_udf(centroids: list[list[float]], assign: int = 1):
+    """Arrow-batched UDF: embedding (array<double>) → the ``assign``
+    nearest centroid ids, ascending by (distance, cid).
+
+    Why a UDF: the quantizer is √N-sized (:func:`auto_n_centroids`),
+    so a per-centroid Catalyst fold expression grows with the CORPUS —
+    at K=45 the interpreted HOF chain measured ~20 s on 2 000 rows
+    (bench r4), and at web scale K=10⁴+ the expression is simply
+    unbuildable.  Here the centroid matrix is one broadcast closure
+    constant and the work is K vectorized row-batch passes.
+
+    Bit-identical to the sequential fold the DuckDB oracle runs
+    (``list_sum`` left-to-right): per centroid the squared diffs are
+    summed with ``np.cumsum`` along the dim axis — cumsum IS the
+    left-to-right order (``0.0 + s₀ = s₀`` exactly), float64
+    throughout, so per-row distances match the oracle to the last ulp
+    and the arg-ranking never flips.  Ties: ``kind="stable"`` argsort
+    keeps the LOWER cid, matching ``ORDER BY dist, cid``."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray(vecs.to_list(), dtype=np.float64)
+        K = C.shape[0]
+        d2 = np.empty((X.shape[0], K), dtype=np.float64)
+        for j in range(K):
+            sq = X - C[j]
+            np.multiply(sq, sq, out=sq)
+            d2[:, j] = np.cumsum(sq, axis=1)[:, -1]
+        order = np.argsort(d2, axis=1, kind="stable")[:, : min(assign, K)]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return assign_udf
 
 
 def probe_clusters(
@@ -409,17 +434,11 @@ def ivf_cells(
 
     Exchange hygiene: ONLY (id, cell) leave this frame — vectors are
     joined back for the exact verify of the (few) candidates."""
+    assign_udf = make_ivf_assign_udf(centroids, assign)
     vec = F.col(vec_col).cast("array<double>")
-    scored = F.array(
-        *[
-            F.struct(_sq_dist(vec, c).alias("d"), F.lit(j).alias("cid"))
-            for j, c in enumerate(centroids)
-        ]
-    )
-    top = F.slice(F.array_sort(scored), 1, assign)
     return df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.explode(F.transform(top, lambda x: x["cid"])).alias("cell"),
+        F.explode(assign_udf(vec)).alias("cell"),
     )
 
 
@@ -451,8 +470,8 @@ def ivf_neardup_pairs(
     pure integer arithmetic.  Pass ``max_cell_size=None`` to disable.
 
     The (id, cell) frame is persisted (counts pass + both self-join
-    sides would otherwise re-run the √N-literal assignment expression
-    three times); callers own cache release."""
+    sides would otherwise re-run the assignment UDF three times);
+    callers own cache release."""
     from pyspark.storagelevel import StorageLevel
 
     cells = ivf_cells(df, centroids, assign, vec_col, id_col)
@@ -514,31 +533,28 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF ANN top-k: assign each vector to its nearest centroid
-    (JVM-side narrow projection over literal centroids), PRUNE to the
-    ``n_probe`` clusters nearest the query, exact cosine only on the
-    survivors, TakeOrdered for the winners.
+    """IVF ANN top-k: assign each vector to its nearest centroid (one
+    Arrow crossing, broadcast centroid matrix —
+    :func:`make_ivf_assign_udf`), PRUNE to the ``n_probe`` clusters
+    nearest the query, exact cosine only on the survivors, TakeOrdered
+    for the winners.
 
     Scale shape: no shuffle at all — assignment and scoring are one
     narrow pass and only k rows travel to the driver.  On a real
     deployment the table is written bucketed/partitioned BY the
     cluster id, so the probe filter becomes partition pruning at the
     scan and the cluster never reads (n_centroids - n_probe)/n_centroids
-    of the data.  Tie-break: strict ``<`` keeps the LOWEST centroid id,
-    matching the oracle's ``ORDER BY dist, cid`` row_number pick.
+    of the data.  Tie-break: stable argsort keeps the LOWEST centroid
+    id, matching the oracle's ``ORDER BY dist, cid`` row_number pick.
     """
     probes = probe_clusters(centroids, query_vec, n_probe)
+    assign_udf = make_ivf_assign_udf(centroids, 1)
     vec = F.col(vec_col).cast("array<double>")
-    dists = [_sq_dist(vec, c) for c in centroids]
-    best, cid = dists[0], F.lit(0)
-    for j in range(1, len(centroids)):
-        cid = F.when(dists[j] < best, F.lit(j)).otherwise(cid)
-        best = F.least(dists[j], best)
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     assigned = df.select(
         F.col(id_col).cast("long").alias("vec_id"),
         vec.alias("v"),
-        cid.alias("cluster"),
+        F.element_at(assign_udf(vec), 1).alias("cluster"),
     )
     return (
         assigned.filter(F.col("cluster").isin(probes))
