@@ -1,0 +1,178 @@
+"""spark-submit entry point for END-TO-END corpus curation.
+
+The full training-data preparation funnel over a (doc_id, lang, text)
+parquet corpus, each stage optional, in the order a production
+pipeline runs them:
+
+    spark-submit --py-files dist/quality_filter.zip jobs/run_curate.py \
+        --input /data/docs --output /data/curated \
+        [--eval /data/benchmarks] [--sample-rate 0.5 | --quota 10000] \
+        [--skip-quality] [--skip-dedup] [--partition-by lang]
+
+1. **quality**  — Gopher shape + C4 boilerplate + repetition screens
+   (functions/corpus_filters.py), ALL evaluated in one pass: scan →
+   codegen projections + ONE Arrow crossing → filter.  Row-local, no
+   shuffle.
+2. **decontaminate** — drop documents whose distinct 5-gram shingles
+   overlap the ``--eval`` corpus above ``--contamination`` (operators/
+   decontaminate.py; eval shingles broadcast, corpus text never
+   shuffles).  Skipped unless ``--eval`` is given.
+3. **dedup**    — the resolve pipeline: exact-dup collapse → MinHash+
+   LSH near-dup pairs over representatives (skew-defused) → star-
+   contraction components → broadcast anti-join of the drop list
+   (operators/dedup.py).
+4. **sample**   — deterministic content-hash draw: ``--sample-rate``
+   (row-local threshold draw) or ``--quota`` per ``--strata-col``
+   (one exchange).  Reproducible under any partitioning.
+
+Stage order matters at scale: quality+decontamination are cheap
+row-local/broadcast screens that shrink the corpus BEFORE the dedup
+shuffles pay their cost, and sampling runs last so quotas reflect the
+cleaned population.
+
+Between stages the survivor frame is persisted (MEMORY_AND_DISK):
+dedup scans its input three times (signatures, representatives, final
+anti-join), and on a real cluster each stage boundary would instead be
+a checkpoint table (plans/lineage.py discipline) so a killed run
+resumes at the last finished stage.
+
+Prints ONE JSON stats line: rows entering each stage and final rows —
+the funnel report a curation run is judged by.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="end-to-end corpus curation")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--skip-quality", action="store_true")
+    p.add_argument("--skip-dedup", action="store_true")
+    p.add_argument("--eval", dest="eval_path", default=None,
+                   help="eval-benchmark parquet for decontamination")
+    p.add_argument("--contamination", type=float, default=0.5,
+                   help="max allowed shingle-containment vs --eval")
+    p.add_argument("--ngram", type=int, default=5)
+    p.add_argument("--dedup-threshold", type=float, default=0.8)
+    p.add_argument("--sample-rate", type=float, default=None)
+    p.add_argument("--quota", type=int, default=None,
+                   help="per-stratum cap (content-hash order)")
+    p.add_argument("--strata-col", default="lang")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--partition-by", default=None)
+    return p.parse_args(argv)
+
+
+def quality_pass(df, text_col: str):
+    """All three filter families in one pass; returns the survivors
+    with the original columns only."""
+    from pyspark.sql import functions as F
+
+    from urqt_spark.functions.corpus_filters import (
+        c4_filter_cols,
+        gopher_quality_cols,
+        make_repetition_udf,
+        repetition_pass_col,
+    )
+
+    rep = make_repetition_udf()
+    flagged = df.select(
+        "*",
+        *gopher_quality_cols(F.col(text_col)),
+        *c4_filter_cols(F.col(text_col)),
+        repetition_pass_col(rep(F.col(text_col))).alias("repetition_pass"),
+    )
+    keep = (
+        F.col("gopher_pass") & F.col("c4_pass") & F.col("repetition_pass")
+    )
+    return flagged.where(keep).select(*df.columns)
+
+
+def run(spark, args) -> dict:
+    from pyspark.storagelevel import StorageLevel
+
+    stats: dict = {}
+    cur = spark.read.parquet(args.input)
+    stats["input_rows"] = cur.count()
+
+    if not args.skip_quality:
+        cur = quality_pass(cur, args.text_col)
+        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+        stats["after_quality"] = cur.count()
+
+    if args.eval_path:
+        from urqt_spark.operators.decontaminate import decontaminate
+
+        eval_df = spark.read.parquet(args.eval_path)
+        cur = decontaminate(
+            cur, eval_df, n=args.ngram, threshold=args.contamination,
+            text_col=args.text_col, id_col=args.id_col,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        stats["after_decontamination"] = cur.count()
+
+    if not args.skip_dedup:
+        from urqt_spark.operators.dedup import (
+            exact_dedup,
+            fuzzy_dedup_resolve,
+            minhash_lsh_pairs_preclustered,
+        )
+
+        reps = exact_dedup(cur, args.text_col, args.id_col)
+        pairs = minhash_lsh_pairs_preclustered(
+            cur, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.dedup_threshold,
+        )
+        cur = fuzzy_dedup_resolve(reps, pairs, id_col=args.id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        stats["after_dedup"] = cur.count()
+
+    if args.sample_rate is not None:
+        from urqt_spark.operators.sampling import hash_threshold_sample
+
+        cur = hash_threshold_sample(
+            cur, args.sample_rate, key_col=args.id_col, seed=args.seed
+        )
+    elif args.quota is not None:
+        from urqt_spark.operators.sampling import stratified_quota_sample
+
+        cur = stratified_quota_sample(
+            cur, args.quota, strata_col=args.strata_col,
+            key_col=args.id_col, seed=args.seed,
+        ).drop("sample_rank")
+
+    writer = cur.write.mode("overwrite")
+    if args.partition_by:
+        writer = writer.partitionBy(args.partition_by)
+    writer.parquet(args.output)
+    spark.catalog.clearCache()
+    stats["output_rows"] = spark.read.parquet(args.output).count()
+    return stats
+
+
+def main(argv=None, spark=None) -> int:
+    args = parse_args(argv)
+    owns = spark is None
+    if owns:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("urqt-curate").getOrCreate()
+    stats = run(spark, args)
+    print(json.dumps(stats))
+    if owns:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

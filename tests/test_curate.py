@@ -1,0 +1,101 @@
+"""End-to-end curation CLI (jobs/run_curate.py): every stage of the
+funnel fires on a corpus constructed to exercise it, and the stats
+line reports the funnel counts."""
+
+import json
+
+import pandas as pd
+
+from jobs.run_curate import main, parse_args
+
+
+def _good_text(i: int, nwords: int = 24) -> str:
+    # distinct words + a stopword + terminal punctuation: passes all
+    # three quality families (top_word_frac 1/nwords, no braces, ends
+    # with '.', mean word length in [2, 12])
+    words = [f"w{i}x{j}" for j in range(nwords - 2)]
+    return "the " + " ".join(words) + " end."
+
+
+def _write(tmp_path, name, rows):
+    p = str(tmp_path / name)
+    pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).to_parquet(
+        p, index=False
+    )
+    return p
+
+
+def test_parse_defaults():
+    a = parse_args("--input i --output o".split())
+    assert a.contamination == 0.5 and a.ngram == 5 and not a.skip_quality
+    assert a.sample_rate is None and a.quota is None
+
+
+def test_curate_funnel_end_to_end(spark, tmp_path):
+    rows = [(i, "en" if i % 2 else "fr", _good_text(i)) for i in range(30)]
+    # quality failures: too short / lorem ipsum / no terminal punct
+    rows += [
+        (100, "en", "too short."),
+        (101, "en", _good_text(101)[:-1] + " lorem ipsum dolor."),
+        (102, "en", _good_text(102).rstrip(".")),
+    ]
+    # exact duplicates of doc 0 (higher ids -> doc 0 survives)
+    rows += [(200, "en", _good_text(0)), (201, "en", _good_text(0))]
+    # near duplicate of doc 1: one word changed mid-document
+    rows += [(202, "fr", _good_text(1).replace("w1x10", "w1xZZ"))]
+    inp = _write(tmp_path, "docs.parquet", rows)
+    # eval benchmark = doc 2's text -> doc 2 is contaminated
+    ev = _write(tmp_path, "eval.parquet", [(0, "en", _good_text(2))])
+    out = str(tmp_path / "curated")
+
+    rc = main(
+        [
+            "--input", inp, "--output", out, "--eval", ev,
+            "--dedup-threshold", "0.7",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+    got = pd.read_parquet(out)
+    ids = set(got.doc_id)
+    assert {100, 101, 102} & ids == set()  # quality screens fired
+    assert 2 not in ids  # decontaminated
+    assert 0 in ids and {200, 201} & ids == set()  # exact dedup
+    assert 1 in ids and 202 not in ids  # near dedup
+    # everything else survived
+    assert ids == set(range(30)) - {2}
+
+
+def test_curate_stats_funnel_counts(spark, tmp_path, capsys):
+    rows = [(i, "en", _good_text(i)) for i in range(20)]
+    rows += [(50, "en", "short.")]
+    inp = _write(tmp_path, "docs.parquet", rows)
+    out = str(tmp_path / "curated")
+    rc = main(["--input", inp, "--output", out], spark=spark)
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_rows"] == 21
+    assert stats["after_quality"] == 20
+    assert stats["after_dedup"] == 20
+    assert stats["output_rows"] == 20
+    assert "after_decontamination" not in stats  # no --eval given
+
+
+def test_curate_quota_sampling(spark, tmp_path):
+    rows = [(i, "en" if i % 2 else "fr", _good_text(i)) for i in range(40)]
+    inp = _write(tmp_path, "docs.parquet", rows)
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "--input", inp, "--output", out, "--skip-dedup",
+            "--quota", "5", "--strata-col", "lang",
+            "--partition-by", "lang",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = pd.read_parquet(out)
+    assert len(got) == 10
+    assert got.groupby("lang", observed=True).size().to_dict() == {"en": 5, "fr": 5}
+    assert "sample_rank" not in got.columns
