@@ -33,6 +33,7 @@ from urqt_spark.operators.decontaminate import (
     ngram_containment,
 )
 from urqt_spark.operators.dedup import neardup_components_oracle_sql
+from urqt_spark.operators.span_dedup import span_dedup_oracle_sql
 from urqt_spark.operators.grouped_stats import length_stats_oracle_sql
 from urqt_spark.operators.sampling import (
     hash_threshold_sample,
@@ -246,6 +247,18 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_quota_sample(
         _docs(spark, sf_dir), quota=40, strata_col="lang", seed=3
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "sample_rank")
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4-style corpus-global span dedup over the augmented docs (the
+    doc_id%5 suffixes are exactly the cross-document repeated
+    sentences C4's rule deletes — each suffix sentence survives only
+    in its lowest-doc_id occurrence).  Text never shuffles: one thin
+    (key, doc_id, idx) partial-agg exchange + per-doc int drop lists,
+    row-local rebuild."""
+    from urqt_spark.operators.span_dedup import span_dedup
+
+    return span_dedup(_aug_docs(spark, sf_dir), delim=".", min_len=10)
 
 
 def q_ngram_containment(spark, sf_dir):
@@ -1185,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "ngram_containment": q_ngram_containment,
+        "span_dedup": q_span_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_stats": q_bpe_token_stats,
         "top_ngrams": q_top_ngrams,
@@ -1359,6 +1373,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE rk <= 40""",
         "ngram_containment": containment_oracle_sql(n=5, threshold=0.5),
+        "span_dedup": span_dedup_oracle_sql(
+            relation="aug", prelude_ctes=f"aug AS ({_QF_AUG_SQL})"
+        ),
         "doc_fingerprint": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint

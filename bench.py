@@ -228,11 +228,16 @@ def main() -> None:
         scrub_enabled=False,
         shuffle_partitions=max(8 * cpus, 16),
     )
+    # min-of-2: pass 1 pays the cold start of a NEW fused-UDF closure
+    # (different config literals -> fresh python-worker code path;
+    # measured 33.6/8.4/8.3 s at sf0.1), which would otherwise be
+    # reported as the kernel throughput
     timed(
         "quality_filter_trim_only",
         lambda: metrics(
             quality_filter_plan(corpus, cfg_fast, repartition=False)
         ).collect(),
+        passes=2,
     )
 
     # restore the default split size: only the flagship wants the
@@ -263,6 +268,7 @@ def main() -> None:
         ("ivf_neardup", 1),
         ("quality_funnel", 1),
         ("ngram_containment", 1),
+        ("span_dedup", 1),
         ("repetition_signals", 1),
         ("hash_sample", 1),
         ("stratified_sample", 1),

@@ -1,0 +1,62 @@
+"""C4-style cross-document span dedup — semantics (first occurrence
+wins, short spans immune, byte-identical round-trip) and the
+text-never-shuffles plan contract."""
+
+from pyspark.sql import functions as F
+
+from urqt_spark.operators.span_dedup import span_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_first_occurrence_wins_across_docs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "unique sentence one. repeated boilerplate span. tail a"),
+            (2, "unique sentence two. repeated boilerplate span. tail b"),
+            (3, "unique sentence three. repeated boilerplate span. tail c"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in span_dedup(df).collect()}
+    assert out[1]["text_deduped"] == df.collect()[0]["text"]  # keeps its copy
+    assert out[1]["n_dropped"] == 0
+    for i in (2, 3):
+        assert "repeated boilerplate" not in out[i]["text_deduped"]
+        assert out[i]["n_dropped"] == 1
+        assert out[i]["text_deduped"].startswith(f"unique sentence")
+        # delimiter structure of the survivors is preserved
+        assert out[i]["text_deduped"].count(".") == 1
+
+
+def test_within_doc_duplicates_also_dropped(spark):
+    # NB spans are exact text: "a. a" splits to ("a", " a") — distinct.
+    df = _docs(spark, [(7, "same long sentence.same long sentence. x")])
+    [row] = span_dedup(df).collect()
+    assert row["n_dropped"] == 1
+    assert row["text_deduped"] == "same long sentence. x"
+
+
+def test_short_spans_never_participate(spark):
+    df = _docs(spark, [(1, "ok. real content span one"), (2, "ok. real content span two")])
+    out = {r["doc_id"]: r.asDict() for r in span_dedup(df, min_len=10).collect()}
+    # "ok" (2 chars) repeats but is immune; nothing else repeats
+    assert out[1]["n_dropped"] == 0 and out[2]["n_dropped"] == 0
+
+
+def test_no_duplicates_roundtrips_byte_identical(spark):
+    texts = ["alpha bravo charlie. delta echo!", "no delimiter at all", "trailing."]
+    df = _docs(spark, list(enumerate(texts)))
+    out = {r["doc_id"]: r["text_deduped"] for r in span_dedup(df).collect()}
+    assert [out[i] for i in range(3)] == texts
+
+
+def test_thin_exchange_plan(spark):
+    df = _docs(spark, [(i, f"doc body number {i}. shared footer sentence") for i in range(50)])
+    plan = span_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    # partial-agg first-occurrence search: map-side combine present,
+    # no window sort over the span key
+    assert "partial_min" in plan or "partial_first" in plan or "HashAggregate" in plan
+    assert "Window" not in plan

@@ -1,0 +1,143 @@
+"""C4-style cross-document span deduplication.
+
+C4 (Raffel et al. 2020 §2.2, public method) removes "any three-sentence
+span occurring more than once in the corpus", keeping one occurrence.
+This operator is that rule for delimiter-separated spans (sentences on
+the single-line `documents` table): every span whose exact text occurs
+more than once ANYWHERE in the corpus is deleted from all but its first
+occurrence (global order = (doc_id, position)), and the surviving spans
+are rejoined with the delimiter.  Spans shorter than ``min_len``
+characters never participate (common short sentences — "Thanks." —
+would otherwise be nuked corpus-wide).
+
+Execution shape (the 100-TB contract — document text NEVER shuffles):
+
+1. thin span table: ``(key=sha2(span), doc_id, idx, participate)`` —
+   the only frame that crosses an exchange; the span text itself stays
+   in the scan stage and is re-derived row-locally at rebuild.
+2. first-occurrence per key via ``groupBy(key).agg(min(struct(doc_id,
+   idx)), count)`` — PARTIAL-AGGREGATABLE (map-side combine), so a
+   boilerplate span shared by millions of documents collapses to one
+   row per map partition before the exchange; no window sort on a hot
+   key.
+3. drop list = occurrences of keys with count ≥ 2 that are not the
+   first — joined per doc into ``(doc_id, sorted int array)``, a frame
+   sized by AFFECTED documents only (AQE broadcasts it when small).
+4. rebuild row-locally on the original table: re-split, drop the
+   listed positions with a higher-order ``filter``, rejoin.
+
+The 128-bit hash key stands in for span equality (collision odds at
+10^12 spans ≈ 2⁻⁶⁵·N² — negligible; the DuckDB oracle keys on the raw
+span text, identical semantics at gate scale).
+
+Reference parity: none in UrQt (per-read only); training-data layer
+(SURVEY.md §2.2) alongside exact/minhash dedup (`operators/dedup.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MIN_LEN = 10
+
+
+def span_dedup(
+    df: DataFrame,
+    delim: str = ".",
+    min_len: int = DEFAULT_MIN_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text_deduped, n_spans, n_dropped) — corpus-global
+    span dedup, first occurrence wins.
+
+    ``text == delim.join(split(text))`` exactly (split keeps empty
+    trailing fields), so a document with no duplicated spans round-
+    trips byte-identical."""
+    import re
+
+    pat = re.escape(delim)
+    did = F.col(id_col).cast("long")
+    spans = df.select(
+        did.alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias("idx", "span"),
+    )
+    thin = spans.where(F.length("span") >= min_len).select(
+        F.substring(F.sha2(F.col("span"), 256), 1, 32).alias("key"),
+        "doc_id",
+        "idx",
+    )
+    firsts = thin.groupBy("key").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    drops = (
+        thin.join(firsts.where(F.col("cnt") >= 2), "key")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("idx") != F.col("first.idx"))
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("idx")).alias("drop_idx"))
+    )
+    rebuilt = df.select(did.alias("doc_id"), F.col(text_col).alias("_t")).join(
+        drops, "doc_id", "left"
+    )
+    parts = F.split(F.col("_t"), pat, -1)
+    dropped = F.coalesce(F.col("drop_idx"), F.array().cast("array<int>"))
+    kept = F.filter(parts, lambda x, i: ~F.array_contains(dropped, i))
+    return rebuilt.select(
+        "doc_id",
+        F.array_join(kept, delim).alias("text_deduped"),
+        F.size(parts).cast("long").alias("n_spans"),
+        F.size(dropped).cast("long").alias("n_dropped"),
+    )
+
+
+def span_dedup_oracle_sql(
+    delim: str = ".",
+    min_len: int = DEFAULT_MIN_LEN,
+    relation: str = "documents",
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB mirror keyed on the raw span text (equal semantics to
+    the 128-bit hash key absent collisions).  First occurrence =
+    row_number over (span) ordered by (doc_id, idx) — fine at gate
+    scale; the Spark side's partial-agg form exists for hot keys.
+
+    ``prelude_ctes`` is spliced into the WITH list (e.g.
+    ``"aug AS (SELECT ...)"``) so callers can dedup a derived
+    relation."""
+    prelude = f"{prelude_ctes}," if prelude_ctes else ""
+    return f"""
+    WITH {prelude} parts AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             unnest(string_split(text, '{delim}')) AS span,
+             unnest(range(len(string_split(text, '{delim}')))) AS idx
+      FROM {relation}
+    ),
+    ranked AS (
+      SELECT doc_id, idx, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn,
+             COUNT(*) OVER (PARTITION BY span) AS cnt
+      FROM parts
+      WHERE length(span) >= {min_len}
+    ),
+    dropped AS (
+      SELECT doc_id, idx FROM ranked WHERE cnt >= 2 AND rn >= 2
+    ),
+    rebuilt AS (
+      SELECT p.doc_id,
+             string_agg(p.span, '{delim}' ORDER BY p.idx)
+               FILTER (WHERE d.idx IS NULL) AS text_deduped,
+             COUNT(*) AS n_spans,
+             COUNT(d.idx) AS n_dropped
+      FROM parts p
+      LEFT JOIN dropped d ON p.doc_id = d.doc_id AND p.idx = d.idx
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, COALESCE(text_deduped, '') AS text_deduped,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dropped AS BIGINT) AS n_dropped
+    FROM rebuilt"""
