@@ -249,6 +249,24 @@ def q_stratified_sample(spark, sf_dir):
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "sample_rank")
 
 
+#: explicit training-mix rates (the config a real pipeline pins after
+#: deriving them with sampling.mixture_rates): downweight the dominant
+#: langs, keep all of the low-resource ones, drop zh entirely — every
+#: branch of the whitelist semantics exercised
+_MIX_RATES = {"en": 0.35, "es": 0.6, "de": 0.8, "fr": 1.0}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature/mixture resampling applied as per-stratum hash
+    thresholds — row-local, zero exchange, layout-independent; strata
+    not in the mix (zh) are dropped."""
+    from urqt_spark.operators.sampling import mixture_resample
+
+    return mixture_resample(_docs(spark, sf_dir), _MIX_RATES, seed=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
 def q_span_dedup(spark, sf_dir):
     """C4-style corpus-global span dedup over the augmented docs (the
     doc_id%5 suffixes are exactly the cross-document repeated
@@ -1199,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_containment": q_ngram_containment,
         "span_dedup": q_span_dedup,
+        "mixture_sample": q_mixture_sample,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_stats": q_bpe_token_stats,
         "top_ngrams": q_top_ngrams,
@@ -1376,6 +1395,14 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": span_dedup_oracle_sql(
             relation="aug", prelude_ctes=f"aug AS ({_QF_AUG_SQL})"
         ),
+        "mixture_sample": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+            FROM documents
+            WHERE substr(sha256(CAST(doc_id AS VARCHAR) || ':5'), 1, 12)
+                  < CASE lang {" ".join(
+                      f"WHEN '{k}' THEN '{sample_threshold_hex(v)}'"
+                      for k, v in sorted(_MIX_RATES.items())
+                  )} END""",
         "doc_fingerprint": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint

@@ -11,6 +11,8 @@ from urqt_spark.functions.corpus_filters import (
 )
 from urqt_spark.operators.sampling import (
     hash_threshold_sample,
+    mixture_rates,
+    mixture_resample,
     sample_threshold_hex,
     stratified_quota_sample,
 )
@@ -144,6 +146,38 @@ def test_hash_sample_plan_has_no_exchange(spark):
     plan = (
         hash_threshold_sample(df, 0.5)._jdf.queryExecution().executedPlan().toString()
     )
+    assert "Exchange" not in plan
+
+
+def test_mixture_rates_temperature():
+    counts = {"en": 9000, "fr": 900, "sw": 100}
+    nat = mixture_rates(counts, temperature=1.0)
+    # T=1 -> proportional shares -> every stratum keeps the same rate,
+    # scaled so the max is 1.0
+    assert all(abs(v - 1.0) < 1e-12 for v in nat.values())
+    hot = mixture_rates(counts, temperature=2.0)
+    # T>1 flattens: low-resource strata keep MORE than high-resource
+    assert hot["sw"] == 1.0 and hot["en"] < hot["fr"] < hot["sw"]
+    budget = mixture_rates(counts, temperature=1.0, budget=1000)
+    kept = sum(budget[k] * counts[k] for k in counts)
+    assert abs(kept - 1000) < 1e-6
+    with pytest.raises(ValueError):
+        mixture_rates(counts, temperature=0)
+    assert mixture_rates({}) == {}
+
+
+def test_mixture_resample_rates_and_whitelist(spark):
+    rows = [(i, ["en", "fr", "zh"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_resample(df, {"en": 0.3, "fr": 1.0}, seed=5)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert "zh" not in by_lang  # not in the mix -> dropped
+    assert by_lang["fr"] == 1000  # rate 1.0 keeps everything
+    assert 0.24 < by_lang["en"] / 1000 < 0.36
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
 

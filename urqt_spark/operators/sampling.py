@@ -77,6 +77,59 @@ def hash_threshold_sample(
     return df.where(h < F.lit(sample_threshold_hex(rate)))
 
 
+def mixture_rates(
+    counts: dict[str, int], temperature: float = 1.0, budget: int | None = None
+) -> dict[str, float]:
+    """Per-stratum keep rates realizing a temperature-smoothed mixture
+    (the multilingual training-mix rule, public method: sample stratum
+    l with probability ∝ n_l^(1/T); T>1 upweights low-resource strata,
+    T=1 is the natural distribution).
+
+    ``budget`` is the target TOTAL kept rows: rate_l = min(1,
+    budget·p_l / n_l).  Without a budget the largest rate is scaled to
+    1.0 (pure re-weighting, maximum data retention).  Driver-side
+    arithmetic over the (tiny) stratum histogram — the cluster-side
+    application is :func:`mixture_resample`, row-local."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not counts:
+        return {}
+    p = {k: float(n) ** (1.0 / temperature) for k, n in counts.items()}
+    z = sum(p[k] for k in sorted(p))
+    share = {k: p[k] / z for k in p}
+    if budget is not None:
+        return {k: min(1.0, budget * share[k] / counts[k]) for k in counts}
+    peak = max(share[k] / counts[k] for k in counts)
+    return {k: (share[k] / counts[k]) / peak for k in counts}
+
+
+def mixture_resample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Apply per-stratum keep rates in ONE row-local pass: keep a row
+    iff its content-hash prefix is below its stratum's threshold.
+    Strata absent from ``rates`` are dropped (an explicit mixture is a
+    whitelist).
+
+    Plan: scan → project(sha prefix) → filter(CASE string <) — zero
+    exchanges, layout-independent, incremental-rerun consistent (same
+    guarantees as :func:`hash_threshold_sample`, per stratum).  The
+    rates map rides the plan as literals (strata counts are small by
+    definition); thresholds are hex STRINGS, so the oracle's CASE
+    compare is exact — no float boundary risk."""
+    h = sample_hash_col(F.col(key_col), seed)
+    thr = F.lit(None).cast("string")
+    for k in sorted(rates, reverse=True):
+        thr = F.when(
+            F.col(strata_col) == k, F.lit(sample_threshold_hex(rates[k]))
+        ).otherwise(thr)
+    return df.where(h < thr)
+
+
 def stratified_quota_sample(
     df: DataFrame,
     quota: int,
