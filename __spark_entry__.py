@@ -1159,6 +1159,44 @@ def q_ivf_neardup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public
+    method): embedding-space near-dup clusters collapse to their
+    min-id representative.  Pure composition of existing scale
+    machinery — IVF cell-local pairs (enforced cell cap) →
+    star-contraction components → broadcast anti-join of the drop
+    list; the embedding payload crosses no shuffle."""
+    from urqt_spark.operators.dedup import fuzzy_dedup_resolve
+    from urqt_spark.operators.similarity import ivf_neardup_pairs
+
+    cents, _ = _ivf_parts(sf_dir)
+    emb = _emb(spark, sf_dir)
+    pairs = ivf_neardup_pairs(
+        emb,
+        cents,
+        threshold=IVF_ND_THRESHOLD,
+        assign=IVF_ND_ASSIGN,
+        max_cell_size=IVF_ND_MAX_CELL,
+    )
+    docs = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+    return fuzzy_dedup_resolve(docs, pairs, id_col="vec_id")
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    comp = neardup_components_oracle_sql(
+        f"SELECT id_a, id_b FROM ({_ivf_neardup_oracle_sql()})"
+    )
+    return f"""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(label AS BIGINT) AS label
+        FROM embeddings
+        WHERE CAST(vec_id AS BIGINT) NOT IN (
+          SELECT id FROM ({comp}) WHERE id != component)"""
+
+
 def _ivf_neardup_oracle_sql() -> str:
     sf_dir = os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
     cents, _ = _ivf_parts(sf_dir)
@@ -1218,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "span_dedup": q_span_dedup,
         "mixture_sample": q_mixture_sample,
+        "semantic_dedup": q_semantic_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_stats": q_bpe_token_stats,
         "top_ngrams": q_top_ngrams,
@@ -1795,6 +1834,13 @@ def oracle_sql() -> dict[str, str]:
         import sys
 
         print(f"[oracle_sql] skipping ivf_neardup oracle: {e}", file=sys.stderr)
+    try:
+        # semantic dedup: components over the same cell-pair set
+        out["semantic_dedup"] = _semantic_dedup_oracle_sql()
+    except Exception as e:  # pragma: no cover - defensive
+        import sys
+
+        print(f"[oracle_sql] skipping semantic_dedup oracle: {e}", file=sys.stderr)
     try:
         # EP2: pass-1 composition literals rebuilt from the same code
         from urqt_spark.plans.entry_queries import trim_ep2_sql

@@ -269,6 +269,8 @@ def main() -> None:
         ("quality_funnel", 1),
         ("ngram_containment", 1),
         ("span_dedup", 1),
+        ("semantic_dedup", 1),
+        ("mixture_sample", 1),
         ("repetition_signals", 1),
         ("hash_sample", 1),
         ("stratified_sample", 1),
