@@ -21,7 +21,13 @@ pipeline runs them:
    LSH near-dup pairs over representatives (skew-defused) → star-
    contraction components → broadcast anti-join of the drop list
    (operators/dedup.py).
-4. **sample**   — deterministic content-hash draw: ``--sample-rate``
+4. **span dedup** (``--span-dedup``) — C4's cross-document span rule
+   (operators/span_dedup.py): duplicated sentences deleted from all
+   but their first occurrence, documents rebuilt; text never
+   shuffles.
+5. **sample**   — deterministic content-hash draw: ``--temperature``
+   [+ ``--budget``] (n^(1/T) mixture rates derived from the live
+   per-stratum counts, applied row-locally), ``--sample-rate``
    (row-local threshold draw) or ``--quota`` per ``--strata-col``
    (one exchange).  Reproducible under any partitioning.
 
@@ -64,9 +70,17 @@ def parse_args(argv=None):
                    help="max allowed shingle-containment vs --eval")
     p.add_argument("--ngram", type=int, default=5)
     p.add_argument("--dedup-threshold", type=float, default=0.8)
+    p.add_argument("--span-dedup", action="store_true",
+                   help="C4-style cross-document span dedup after doc dedup")
+    p.add_argument("--span-delim", default=".")
+    p.add_argument("--span-min-len", type=int, default=10)
     p.add_argument("--sample-rate", type=float, default=None)
     p.add_argument("--quota", type=int, default=None,
                    help="per-stratum cap (content-hash order)")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="mixture temperature (n^(1/T) per --strata-col)")
+    p.add_argument("--budget", type=int, default=None,
+                   help="target total rows for --temperature resampling")
     p.add_argument("--strata-col", default="lang")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--partition-by", default=None)
@@ -137,7 +151,40 @@ def run(spark, args) -> dict:
         )
         stats["after_dedup"] = cur.count()
 
-    if args.sample_rate is not None:
+    if args.span_dedup:
+        from pyspark.sql import functions as F
+
+        from urqt_spark.operators.span_dedup import span_dedup
+
+        deduped = span_dedup(
+            cur, delim=args.span_delim, min_len=args.span_min_len,
+            text_col=args.text_col, id_col=args.id_col,
+        ).select(
+            F.col("doc_id").alias(args.id_col),
+            F.col("text_deduped").alias(args.text_col),
+        )
+        keep_cols = [c for c in cur.columns if c not in (args.text_col,)]
+        cur = (
+            cur.select(*keep_cols)
+            .join(deduped, args.id_col)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        stats["after_span_dedup"] = cur.count()
+
+    if args.temperature is not None:
+        from urqt_spark.operators.sampling import mixture_rates, mixture_resample
+
+        counts = {
+            r[0]: r[1]
+            for r in cur.groupBy(args.strata_col).count().collect()
+        }
+        rates = mixture_rates(counts, args.temperature, args.budget)
+        stats["mixture_rates"] = {k: round(v, 6) for k, v in sorted(rates.items())}
+        cur = mixture_resample(
+            cur, rates, strata_col=args.strata_col,
+            key_col=args.id_col, seed=args.seed,
+        )
+    elif args.sample_rate is not None:
         from urqt_spark.operators.sampling import hash_threshold_sample
 
         cur = hash_threshold_sample(

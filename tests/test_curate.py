@@ -82,6 +82,35 @@ def test_curate_stats_funnel_counts(spark, tmp_path, capsys):
     assert "after_decontamination" not in stats  # no --eval given
 
 
+def test_curate_span_dedup_and_temperature(spark, tmp_path, capsys):
+    # docs share a long suffix sentence -> span dedup strips it from
+    # all but the first; skewed lang mix -> temperature flattens it
+    rows = [
+        (i, "en" if i < 30 else "fr",
+         _good_text(i)[:-1] + ". shared footer sentence for everyone.")
+        for i in range(36)
+    ]
+    inp = _write(tmp_path, "docs.parquet", rows)
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "--input", inp, "--output", out, "--skip-dedup",
+            "--span-dedup", "--temperature", "2.0", "--budget", "18",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_span_dedup"] == 36
+    assert set(stats["mixture_rates"]) == {"en", "fr"}
+    # T=2 upweights the low-resource stratum
+    assert stats["mixture_rates"]["fr"] > stats["mixture_rates"]["en"]
+    got = pd.read_parquet(out)
+    shared = got.text.str.contains("shared footer sentence").sum()
+    assert shared == (1 if 0 in set(got.doc_id) else 0)
+    assert 0 < len(got) < 36
+
+
 def test_curate_quota_sampling(spark, tmp_path):
     rows = [(i, "en" if i % 2 else "fr", _good_text(i)) for i in range(40)]
     inp = _write(tmp_path, "docs.parquet", rows)
