@@ -263,7 +263,7 @@ def main() -> None:
         ("simhash_neardup_dedup", 1),
         ("winnow_clone_pairs", 2),
         ("ann_topk", 1),
-        ("lsh_ann_pairs", 1),
+        ("lsh_ann_pairs", 2),
         ("ivf_ann_topk", 2),
         ("ivf_neardup", 1),
         ("quality_funnel", 1),
