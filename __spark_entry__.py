@@ -27,6 +27,7 @@ from urqt_spark.functions.corpus_filters import (
     repetition_signals,
 )
 from urqt_spark.functions.scrub import scrub_spark_col, scrub_sql
+from urqt_spark.functions.toxicity import toxicity_oracle_sql
 from urqt_spark.functions.text import winnow_clone_pairs_oracle_sql, winnow_oracle_sql
 from urqt_spark.operators.decontaminate import (
     containment_oracle_sql,
@@ -247,6 +248,19 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_quota_sample(
         _docs(spark, sf_dir), quota=40, strata_col="lang", seed=3
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "sample_rank")
+
+
+def q_toxicity_screen(spark, sf_dir):
+    """C4 badword-rule signals per document (functions/toxicity.py):
+    pure Catalyst, row-local, blocklist as an InSet plan literal.
+    'slow' is in the synthetic vocabulary so both branches of the
+    pass flag fire."""
+    from urqt_spark.functions.toxicity import blocklist_signals
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *blocklist_signals(F.col("text")),
+    )
 
 
 #: explicit training-mix rates (the config a real pipeline pins after
@@ -1257,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "mixture_sample": q_mixture_sample,
         "semantic_dedup": q_semantic_dedup,
+        "toxicity_screen": q_toxicity_screen,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_stats": q_bpe_token_stats,
         "top_ngrams": q_top_ngrams,
@@ -1434,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": span_dedup_oracle_sql(
             relation="aug", prelude_ctes=f"aug AS ({_QF_AUG_SQL})"
         ),
+        "toxicity_screen": toxicity_oracle_sql(),
         "mixture_sample": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
             FROM documents

@@ -271,6 +271,7 @@ def main() -> None:
         ("span_dedup", 1),
         ("semantic_dedup", 1),
         ("mixture_sample", 1),
+        ("toxicity_screen", 1),
         ("repetition_signals", 1),
         ("hash_sample", 1),
         ("stratified_sample", 1),

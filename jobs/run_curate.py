@@ -10,6 +10,7 @@ pipeline runs them:
         [--skip-quality] [--skip-dedup] [--partition-by lang]
 
 1. **quality**  — Gopher shape + C4 boilerplate + repetition screens
+   plus the optional ``--blocklist`` toxicity drop (C4 badword rule)
    (functions/corpus_filters.py), ALL evaluated in one pass: scan →
    codegen projections + ONE Arrow crossing → filter.  Row-local, no
    shuffle.
@@ -63,6 +64,9 @@ def parse_args(argv=None):
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--skip-quality", action="store_true")
+    p.add_argument("--blocklist", default=None,
+                   help="comma-separated toxicity blocklist; any hit drops "
+                        "the document (C4 badword rule)")
     p.add_argument("--skip-dedup", action="store_true")
     p.add_argument("--eval", dest="eval_path", default=None,
                    help="eval-benchmark parquet for decontamination")
@@ -123,6 +127,15 @@ def run(spark, args) -> dict:
         cur = quality_pass(cur, args.text_col)
         cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         stats["after_quality"] = cur.count()
+
+    if args.blocklist:
+        from urqt_spark.functions.toxicity import toxicity_screen
+
+        words = frozenset(
+            w.strip().lower() for w in args.blocklist.split(",") if w.strip()
+        )
+        cur = toxicity_screen(cur, words, text_col=args.text_col)
+        stats["after_toxicity"] = cur.count()
 
     if args.eval_path:
         from urqt_spark.operators.decontaminate import decontaminate

@@ -1,0 +1,56 @@
+"""Toxicity blocklist screen (C4 badword rule) — semantics and the
+row-local pure-Catalyst plan contract."""
+
+from pyspark.sql import functions as F
+
+from urqt_spark.functions.toxicity import (
+    blocklist_signals,
+    toxicity_screen,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_signals_and_case_insensitivity(spark):
+    bl = frozenset({"bad", "worse"})
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in _docs(
+            spark,
+            [
+                (1, "all clean words here"),
+                (2, "one BAD word appears"),
+                (3, "bad Worse bad"),
+                (4, ""),
+            ],
+        )
+        .select("doc_id", *blocklist_signals(F.col("text"), bl))
+        .collect()
+    }
+    assert rows[1]["n_blocked"] == 0 and rows[1]["toxicity_pass"]
+    assert rows[2]["n_blocked"] == 1 and not rows[2]["toxicity_pass"]
+    assert rows[3]["n_blocked"] == 3 and rows[3]["blocked_frac"] == 1.0
+    assert rows[4]["n_blocked"] == 0  # empty text -> one empty token, no hit
+
+
+def test_screen_drops_any_hit_by_default(spark):
+    bl = frozenset({"bad"})
+    df = _docs(spark, [(1, "clean doc"), (2, "a bad doc"), (3, "also clean")])
+    kept = sorted(r["doc_id"] for r in toxicity_screen(df, bl).collect())
+    assert kept == [1, 3]
+    lax = sorted(r["doc_id"] for r in toxicity_screen(df, bl, max_hits=1).collect())
+    assert lax == [1, 2, 3]
+
+
+def test_plan_is_row_local_pure_catalyst(spark):
+    df = _docs(spark, [(1, "a b c")])
+    plan = (
+        toxicity_screen(df, frozenset({"x"}))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

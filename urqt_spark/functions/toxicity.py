@@ -1,0 +1,84 @@
+"""Toxicity / blocklist screening (the C4 badword rule, public method).
+
+C4 (Raffel et al. 2020 §2.2) drops any page containing a word from a
+public blocklist ("List of Dirty, Naughty, Obscene or Otherwise Bad
+Words").  This module is that rule for the engine's `documents` table:
+count lowercase-token blocklist hits per document and drop documents
+over ``max_hits`` (C4 uses 0 — any hit drops the page).  The actual
+list is a deployment artifact the caller supplies; the default here is
+a tiny neutral placeholder so tests and oracles stay printable.
+
+Execution shape (the 100-TB contract): ROW-LOCAL, pure Catalyst —
+scan → codegen project → filter; no Python, no shuffle.  The
+blocklist rides the plan as an ``InSet`` literal (hash-set member
+test per token), the same broadcast-sized-constant discipline as the
+langid/perplexity model artifacts.  Matching is exact lowercase
+space-token equality — production deployments normalize punctuation
+first (`doc_fingerprint`'s regexp_replace shows the idiom).
+
+North-rule parity: BASELINE.json names "PII/toxicity-scrub" — PII is
+the fused scrub stage (`functions/scrub.py`); this is the toxicity
+side, a corpus screen rather than a rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: neutral placeholder — supply the real deployment list
+DEFAULT_BLOCKLIST = frozenset({"slow", "broken", "awful"})
+
+
+def blocklist_signals(
+    text: Column, blocklist: frozenset[str] = DEFAULT_BLOCKLIST, max_hits: int = 0
+) -> list[Column]:
+    """Column list (n_words, n_blocked, blocked_frac, toxicity_pass).
+
+    ``blocked_frac`` is an UNROUNDED long/long IEEE division —
+    bit-identical across engines (see corpus_filters.py on rounding
+    ties)."""
+    words = F.split(text, " ")
+    n_words = F.size(words)
+    hits = F.size(F.filter(words, lambda w: F.lower(w).isin(list(blocklist))))
+    frac = F.when(n_words > 0, hits / n_words).otherwise(F.lit(0.0))
+    return [
+        n_words.cast("long").alias("n_words"),
+        hits.cast("long").alias("n_blocked"),
+        frac.alias("blocked_frac"),
+        (hits <= max_hits).alias("toxicity_pass"),
+    ]
+
+
+def toxicity_screen(
+    df: DataFrame,
+    blocklist: frozenset[str] = DEFAULT_BLOCKLIST,
+    max_hits: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Surviving rows only (the C4 drop rule at ``max_hits=0``)."""
+    words = F.split(F.col(text_col), " ")
+    hits = F.size(F.filter(words, lambda w: F.lower(w).isin(list(blocklist))))
+    return df.where(hits <= max_hits)
+
+
+def toxicity_oracle_sql(
+    blocklist: frozenset[str] = DEFAULT_BLOCKLIST,
+    max_hits: int = 0,
+    relation: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`blocklist_signals` over (doc_id, text)."""
+    lst = ",".join(f"'{w}'" for w in sorted(blocklist))
+    nw = "len(string_split(text, ' '))"
+    hits = (
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains([{lst}], lower(w))))"
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({nw} AS BIGINT) AS n_words,
+               CAST({hits} AS BIGINT) AS n_blocked,
+               CASE WHEN {nw} > 0
+                    THEN CAST({hits} AS DOUBLE) / {nw} ELSE 0.0 END AS blocked_frac,
+               ({hits} <= {max_hits}) AS toxicity_pass
+        FROM {relation}"""
