@@ -8,7 +8,8 @@ Asserts the plans we ship are the plans we want at 100 TB:
    after the trim stage (ReadSchema shows only needed columns).
 3. The relational glue runs inside WholeStageCodegen spans.
 4. The anti-join drop-propagation broadcasts the small side.
-5. The flagship has exactly ONE shuffle (the salted repartition).
+5. The shuffled flagship variant has exactly ONE shuffle (salted
+   repartition); the production shuffle-free flagship has ZERO.
 
 Run: python scripts/explain_plans.py   (exit 0 = all checks hold)
 """
@@ -80,12 +81,26 @@ def main() -> int:
     if "BroadcastHashJoin" not in ajplan:
         failures.append("anti-join not broadcast")
 
-    # 5. exactly one Exchange in the flagship (the salted repartition)
+    # 5. exactly one Exchange in the flagship's SHUFFLED variant (the
+    # salted repartition, kept for unsplittable sources)
     fplan = quality_filter_plan(corpus, cfg)._jdf.queryExecution().executedPlan().toString()
     n_ex = fplan.count("Exchange ")
-    print("## exchanges in flagship plan:", n_ex)
+    print("## exchanges in shuffled-variant plan:", n_ex)
     if n_ex > 1:
-        failures.append(f"flagship has {n_ex} shuffles, want 1")
+        failures.append(f"shuffled flagship has {n_ex} shuffles, want 1")
+
+    # 6. ZERO Exchanges in the production (shuffle-free) flagship —
+    # the plan bench.py and the scaling protocol run
+    sfplan = (
+        quality_filter_plan(corpus, cfg, repartition=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_sf = sfplan.count("Exchange ")
+    print("## exchanges in shuffle-free flagship plan:", n_sf)
+    if n_sf != 0:
+        failures.append(f"shuffle-free flagship has {n_sf} shuffles, want 0")
 
     spark.stop()
     print("FAILURES:", failures or "none")

@@ -149,6 +149,19 @@ def test_hash_sample_plan_has_no_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_quality_funnel_single_pass_plan(spark):
+    """The funnel's 100-TB claim: all three filter families evaluated
+    in ONE pass — one ArrowEvalPython crossing, and the only exchange
+    is the thin (lang, bools) partial-agg groupBy."""
+    import __spark_entry__ as E
+
+    df = E.queries()["quality_funnel"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
 def test_mixture_rates_temperature():
     counts = {"en": 9000, "fr": 900, "sw": 100}
     nat = mixture_rates(counts, temperature=1.0)
@@ -179,6 +192,17 @@ def test_mixture_resample_rates_and_whitelist(spark):
     assert 0.24 < by_lang["en"] / 1000 < 0.36
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hash_sample_rates_are_nested(spark):
+    """Production invariant: raising the rate only ADDS documents —
+    the r1 draw is a strict subset of the r2 > r1 draw (threshold
+    monotonicity), so downsampling decisions are refinable without
+    reshuffling past selections."""
+    df = spark.range(1500).select(F.col("id").alias("doc_id"))
+    small = {r["doc_id"] for r in hash_threshold_sample(df, 0.1, seed=3).collect()}
+    big = {r["doc_id"] for r in hash_threshold_sample(df, 0.4, seed=3).collect()}
+    assert small < big
 
 
 def test_stratified_quota_sample(spark):
