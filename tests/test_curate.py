@@ -111,6 +111,26 @@ def test_curate_span_dedup_and_temperature(spark, tmp_path, capsys):
     assert 0 < len(got) < 36
 
 
+def test_curate_blocklist_stage(spark, tmp_path, capsys):
+    rows = [(i, "en", _good_text(i)) for i in range(10)]
+    # NB matching is exact lowercase tokens: keep the badword clear of
+    # the terminal punctuation
+    rows += [(20, "en", _good_text(20)[:-1] + " forbiddenword ok.")]
+    inp = _write(tmp_path, "docs.parquet", rows)
+    out = str(tmp_path / "curated")
+    rc = main(
+        ["--input", inp, "--output", out, "--skip-dedup",
+         "--blocklist", "forbiddenword, OTHER"],
+        spark=spark,
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_quality"] == 11
+    assert stats["after_toxicity"] == 10
+    got = pd.read_parquet(out)
+    assert 20 not in set(got.doc_id)
+
+
 def test_curate_quota_sampling(spark, tmp_path):
     rows = [(i, "en" if i % 2 else "fr", _good_text(i)) for i in range(40)]
     inp = _write(tmp_path, "docs.parquet", rows)
