@@ -113,9 +113,8 @@ def test_curate_span_dedup_and_temperature(spark, tmp_path, capsys):
 
 def test_curate_blocklist_stage(spark, tmp_path, capsys):
     rows = [(i, "en", _good_text(i)) for i in range(10)]
-    # NB matching is exact lowercase tokens: keep the badword clear of
-    # the terminal punctuation
-    rows += [(20, "en", _good_text(20)[:-1] + " forbiddenword ok.")]
+    # matching is edge-normalized: the terminal period cannot cloak it
+    rows += [(20, "en", _good_text(20)[:-1] + " forbiddenword.")]
     inp = _write(tmp_path, "docs.parquet", rows)
     out = str(tmp_path / "curated")
     rc = main(

@@ -24,6 +24,8 @@ def test_signals_and_case_insensitivity(spark):
                 (2, "one BAD word appears"),
                 (3, "bad Worse bad"),
                 (4, ""),
+                (5, "ends with bad."),
+                (6, "quoted (bad) word"),
             ],
         )
         .select("doc_id", *blocklist_signals(F.col("text"), bl))
@@ -33,6 +35,9 @@ def test_signals_and_case_insensitivity(spark):
     assert rows[2]["n_blocked"] == 1 and not rows[2]["toxicity_pass"]
     assert rows[3]["n_blocked"] == 3 and rows[3]["blocked_frac"] == 1.0
     assert rows[4]["n_blocked"] == 0  # empty text -> one empty token, no hit
+    # punctuation cannot cloak a listed word (edge-normalized match)
+    assert rows[5]["n_blocked"] == 1 and not rows[5]["toxicity_pass"]
+    assert rows[6]["n_blocked"] == 1
 
 
 def test_screen_drops_any_hit_by_default(spark):

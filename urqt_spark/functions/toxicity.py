@@ -8,6 +8,11 @@ over ``max_hits`` (C4 uses 0 — any hit drops the page).  The actual
 list is a deployment artifact the caller supplies; the default here is
 a tiny neutral placeholder so tests and oracles stay printable.
 
+Matching normalizes each token before the set test: lowercase with
+leading/trailing non-alphanumerics stripped — "bad," and "(bad"
+match, so punctuation cannot cloak a listed word ("b a d" evasion is
+out of scope for the public C4 rule too).
+
 Execution shape (the 100-TB contract): ROW-LOCAL, pure Catalyst —
 scan → codegen project → filter; no Python, no shuffle.  The
 blocklist rides the plan as an ``InSet`` literal (hash-set member
@@ -29,6 +34,14 @@ from pyspark.sql import functions as F
 #: neutral placeholder — supply the real deployment list
 DEFAULT_BLOCKLIST = frozenset({"slow", "broken", "awful"})
 
+#: strip token edges down to the [a-z0-9] core (after lowercasing);
+#: Spark's regexp_replace is global by default, DuckDB needs 'g'
+_EDGE_PAT = "(^[^a-z0-9]+)|([^a-z0-9]+$)"
+
+
+def _norm_token(w: Column) -> Column:
+    return F.regexp_replace(F.lower(w), _EDGE_PAT, "")
+
 
 def blocklist_signals(
     text: Column, blocklist: frozenset[str] = DEFAULT_BLOCKLIST, max_hits: int = 0
@@ -40,7 +53,7 @@ def blocklist_signals(
     ties)."""
     words = F.split(text, " ")
     n_words = F.size(words)
-    hits = F.size(F.filter(words, lambda w: F.lower(w).isin(list(blocklist))))
+    hits = F.size(F.filter(words, lambda w: _norm_token(w).isin(list(blocklist))))
     frac = F.when(n_words > 0, hits / n_words).otherwise(F.lit(0.0))
     return [
         n_words.cast("long").alias("n_words"),
@@ -58,7 +71,7 @@ def toxicity_screen(
 ) -> DataFrame:
     """Surviving rows only (the C4 drop rule at ``max_hits=0``)."""
     words = F.split(F.col(text_col), " ")
-    hits = F.size(F.filter(words, lambda w: F.lower(w).isin(list(blocklist))))
+    hits = F.size(F.filter(words, lambda w: _norm_token(w).isin(list(blocklist))))
     return df.where(hits <= max_hits)
 
 
@@ -70,9 +83,10 @@ def toxicity_oracle_sql(
     """DuckDB mirror of :func:`blocklist_signals` over (doc_id, text)."""
     lst = ",".join(f"'{w}'" for w in sorted(blocklist))
     nw = "len(string_split(text, ' '))"
+    norm = f"regexp_replace(lower(w), '{_EDGE_PAT}', '', 'g')"
     hits = (
         f"len(list_filter(string_split(text, ' '), "
-        f"w -> list_contains([{lst}], lower(w))))"
+        f"w -> list_contains([{lst}], {norm})))"
     )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
