@@ -39,9 +39,11 @@ cleaned population.
 
 Between stages the survivor frame is persisted (MEMORY_AND_DISK):
 dedup scans its input three times (signatures, representatives, final
-anti-join), and on a real cluster each stage boundary would instead be
-a checkpoint table (plans/lineage.py discipline) so a killed run
-resumes at the last finished stage.
+anti-join).  With ``--checkpoint-dir`` each stage boundary is instead
+a parquet checkpoint table and a killed run RESUMES at the first
+unfinished stage (`_SUCCESS` markers; a config fingerprint refuses a
+resume with changed knobs) — the job-level counterpart of the
+per-partition lineage in plans/lineage.py.
 
 Prints ONE JSON stats line: rows entering each stage and final rows —
 the funnel report a curation run is judged by.
@@ -88,6 +90,9 @@ def parse_args(argv=None):
     p.add_argument("--strata-col", default="lang")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--partition-by", default=None)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="materialize each stage here; completed stages "
+                        "are skipped on rerun (resume after a kill)")
     return p.parse_args(argv)
 
 
@@ -116,17 +121,69 @@ def quality_pass(df, text_col: str):
     return flagged.where(keep).select(*df.columns)
 
 
+def _check_resume_config(args) -> None:
+    """Refuse a resume whose knobs differ from the original run —
+    checkpointed stage outputs would silently disagree with the new
+    configuration.  Clear --checkpoint-dir to change parameters."""
+    import json
+    import os
+
+    cfg = {k: v for k, v in sorted(vars(args).items()) if k != "output"}
+    path = os.path.join(args.checkpoint_dir, "curate_config.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        if prev != cfg:
+            diff = sorted(
+                k for k in set(prev) | set(cfg) if prev.get(k) != cfg.get(k)
+            )
+            raise SystemExit(
+                f"checkpoint dir {args.checkpoint_dir} was written with "
+                f"different parameters ({', '.join(diff)}); clear it or "
+                f"rerun with the original flags"
+            )
+    else:
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(cfg, fh)
+
+
 def run(spark, args) -> dict:
+    import os
+
     from pyspark.storagelevel import StorageLevel
 
     stats: dict = {}
+    if args.checkpoint_dir:
+        _check_resume_config(args)
+        stats["resumed_stages"] = []
+
+    def materialize(df, stage):
+        """Stage boundary.  With --checkpoint-dir the stage output is a
+        parquet table and a completed stage (_SUCCESS marker) is read
+        back instead of recomputed — a killed run resumes at the first
+        unfinished stage (stages are deterministic, so resumed results
+        are identical; on a real cluster the path is an object-store /
+        Iceberg location and the marker check a FileSystem call —
+        plans/lineage.py is the per-partition version of the same
+        discipline).  Without it, the boundary is an in-memory persist."""
+        if args.checkpoint_dir:
+            path = os.path.join(args.checkpoint_dir, stage)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                stats["resumed_stages"].append(stage)
+            else:
+                df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+        else:
+            out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        stats[f"after_{stage}"] = out.count()
+        return out
+
     cur = spark.read.parquet(args.input)
     stats["input_rows"] = cur.count()
 
     if not args.skip_quality:
-        cur = quality_pass(cur, args.text_col)
-        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
-        stats["after_quality"] = cur.count()
+        cur = materialize(quality_pass(cur, args.text_col), "quality")
 
     if args.blocklist:
         from urqt_spark.functions.toxicity import toxicity_screen
@@ -134,18 +191,21 @@ def run(spark, args) -> dict:
         words = frozenset(
             w.strip().lower() for w in args.blocklist.split(",") if w.strip()
         )
-        cur = toxicity_screen(cur, words, text_col=args.text_col)
-        stats["after_toxicity"] = cur.count()
+        cur = materialize(
+            toxicity_screen(cur, words, text_col=args.text_col), "toxicity"
+        )
 
     if args.eval_path:
         from urqt_spark.operators.decontaminate import decontaminate
 
         eval_df = spark.read.parquet(args.eval_path)
-        cur = decontaminate(
-            cur, eval_df, n=args.ngram, threshold=args.contamination,
-            text_col=args.text_col, id_col=args.id_col,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        stats["after_decontamination"] = cur.count()
+        cur = materialize(
+            decontaminate(
+                cur, eval_df, n=args.ngram, threshold=args.contamination,
+                text_col=args.text_col, id_col=args.id_col,
+            ),
+            "decontamination",
+        )
 
     if not args.skip_dedup:
         from urqt_spark.operators.dedup import (
@@ -159,10 +219,9 @@ def run(spark, args) -> dict:
             cur, text_col=args.text_col, id_col=args.id_col,
             threshold=args.dedup_threshold,
         )
-        cur = fuzzy_dedup_resolve(reps, pairs, id_col=args.id_col).persist(
-            StorageLevel.MEMORY_AND_DISK
+        cur = materialize(
+            fuzzy_dedup_resolve(reps, pairs, id_col=args.id_col), "dedup"
         )
-        stats["after_dedup"] = cur.count()
 
     if args.span_dedup:
         from pyspark.sql import functions as F
@@ -177,12 +236,9 @@ def run(spark, args) -> dict:
             F.col("text_deduped").alias(args.text_col),
         )
         keep_cols = [c for c in cur.columns if c not in (args.text_col,)]
-        cur = (
-            cur.select(*keep_cols)
-            .join(deduped, args.id_col)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        cur = materialize(
+            cur.select(*keep_cols).join(deduped, args.id_col), "span_dedup"
         )
-        stats["after_span_dedup"] = cur.count()
 
     if args.temperature is not None:
         from urqt_spark.operators.sampling import mixture_rates, mixture_resample

@@ -130,6 +130,44 @@ def test_curate_blocklist_stage(spark, tmp_path, capsys):
     assert 20 not in set(got.doc_id)
 
 
+def test_curate_checkpoint_resume(spark, tmp_path, capsys):
+    import pytest
+
+    rows = [(i, "en", _good_text(i)) for i in range(15)]
+    rows += [(40, "en", _good_text(0))]  # exact dup -> dedup stage fires
+    inp = _write(tmp_path, "docs.parquet", rows)
+    out, ckpt = str(tmp_path / "curated"), str(tmp_path / "ckpt")
+    argv = ["--input", inp, "--output", out, "--checkpoint-dir", ckpt]
+
+    assert main(argv, spark=spark) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["resumed_stages"] == []
+    assert first["after_dedup"] == 15
+
+    # rerun: every finished stage is read back, not recomputed
+    assert main(argv, spark=spark) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["resumed_stages"] == ["quality", "dedup"]
+    assert second["after_dedup"] == first["after_dedup"]
+    assert sorted(pd.read_parquet(out).doc_id) == sorted(
+        r["doc_id"] for r in [dict(doc_id=i) for i in range(15)]
+    )
+
+    # partial resume: wipe the LAST stage only -> earlier stages skip,
+    # dedup recomputes from the quality checkpoint
+    import shutil
+
+    shutil.rmtree(f"{ckpt}/dedup")
+    assert main(argv, spark=spark) == 0
+    third = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert third["resumed_stages"] == ["quality"]
+    assert third["after_dedup"] == first["after_dedup"]
+
+    # changed knobs against the same checkpoint dir are refused
+    with pytest.raises(SystemExit):
+        main(argv + ["--dedup-threshold", "0.9"], spark=spark)
+
+
 def test_curate_quota_sampling(spark, tmp_path):
     rows = [(i, "en" if i % 2 else "fr", _good_text(i)) for i in range(40)]
     inp = _write(tmp_path, "docs.parquet", rows)
