@@ -1,0 +1,83 @@
+"""spark-submit entry point: raw corpus (JSONL / text / text.gz) →
+the partitioned parquet layout every downstream job reads.
+
+    spark-submit --py-files dist/quality_filter.zip jobs/ingest.py \
+        --input dump.jsonl[.gz] --format jsonl --output /data/docs \
+        [--corrupt-out /data/docs_corrupt] [--partition-by lang]
+
+Why ingest-first at 100 TB: gzip inputs are unsplittable (1 file = 1
+task) and JSONL pays JSON decode on every read — one normalization
+pass buys byte-balanced scan splits, column pruning and predicate
+pushdown for every later pass.  Corrupt JSONL lines are counted and
+(optionally) quarantined, never silently dropped.
+
+Prints ONE JSON stats line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="raw corpus ingestion")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--format", choices=["jsonl", "text"], default="jsonl")
+    p.add_argument("--lang", default="unknown",
+                   help="lang value for --format text (no metadata in raw text)")
+    p.add_argument("--corrupt-out", default=None,
+                   help="quarantine parquet for undecodable JSONL lines")
+    p.add_argument("--partition-by", default="lang")
+    return p.parse_args(argv)
+
+
+def run(spark, args) -> dict:
+    from urqt_spark.sources.ingest import read_jsonl, read_text_lines
+
+    stats: dict = {"format": args.format}
+    if args.format == "jsonl":
+        good, bad = read_jsonl(spark, args.input)
+        n_bad = bad.count()
+        stats["corrupt_lines"] = n_bad
+        if n_bad and args.corrupt_out:
+            bad.write.mode("overwrite").parquet(args.corrupt_out)
+            stats["corrupt_quarantined"] = True
+        elif n_bad:
+            print(
+                f"[ingest] {n_bad} corrupt line(s) DROPPED "
+                f"(pass --corrupt-out to quarantine them)",
+                file=sys.stderr,
+            )
+    else:
+        good = read_text_lines(spark, args.input, lang=args.lang)
+
+    writer = good.write.mode("overwrite")
+    if args.partition_by and args.partition_by in good.columns:
+        writer = writer.partitionBy(args.partition_by)
+    writer.parquet(args.output)
+    stats["rows"] = spark.read.parquet(args.output).count()
+    return stats
+
+
+def main(argv=None, spark=None) -> int:
+    args = parse_args(argv)
+    owns = spark is None
+    if owns:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("urqt-ingest").getOrCreate()
+    stats = run(spark, args)
+    print(json.dumps(stats))
+    if owns:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""Ingestion layer: JSONL with corrupt-line quarantine, gzip text
+(reference gzstream parity), and the spark-submit job around them."""
+
+import glob
+import gzip
+import json
+
+import pandas as pd
+
+from jobs.ingest import main
+from urqt_spark.sources.ingest import read_jsonl, read_text_lines
+
+
+def _jsonl(tmp_path, lines, name="in.jsonl"):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_read_jsonl_splits_good_and_corrupt(spark, tmp_path):
+    lines = [
+        json.dumps({"doc_id": 1, "lang": "en", "text": "hello world"}),
+        "{not valid json at all",
+        json.dumps({"doc_id": 2, "lang": "fr", "text": "bonjour"}),
+        json.dumps({"lang": "de", "text": "missing id"}),
+    ]
+    good, bad = read_jsonl(spark, _jsonl(tmp_path, lines))
+    g = {r["doc_id"]: r.asDict() for r in good.collect()}
+    assert set(g) == {1, 2} and g[2]["lang"] == "fr"
+    assert good.columns == ["doc_id", "lang", "text"]
+    raws = [r["raw_line"] for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not valid json" in r for r in raws)
+
+
+def test_read_text_gz_and_content_ids(spark, tmp_path):
+    p = tmp_path / "corpus.txt.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("first doc line\nsecond doc line\nfirst doc line\n")
+    df = read_text_lines(spark, str(p), lang="en")
+    rows = df.collect()
+    assert len(rows) == 3  # gzip decoded transparently
+    ids = {r["text"]: r["doc_id"] for r in rows}
+    assert len(ids) == 2  # identical lines -> identical content id
+    assert all(r["lang"] == "en" for r in rows)
+    # content-keyed: re-reading yields the same ids
+    again = {r["text"]: r["doc_id"] for r in read_text_lines(spark, str(p)).collect()}
+    assert {t: i for t, i in ids.items()} == again
+
+
+def test_ingest_job_jsonl_end_to_end(spark, tmp_path, capsys):
+    lines = [
+        json.dumps({"doc_id": i, "lang": "en" if i % 2 else "fr", "text": f"doc {i}"})
+        for i in range(10)
+    ] + ["garbage line"]
+    inp = _jsonl(tmp_path, lines)
+    out, quarantine = str(tmp_path / "docs"), str(tmp_path / "bad")
+    rc = main(
+        ["--input", inp, "--output", out, "--corrupt-out", quarantine],
+        spark=spark,
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == 10 and stats["corrupt_lines"] == 1
+    # lang-partitioned layout -> downstream pruning works
+    assert glob.glob(f"{out}/lang=en/*.parquet")
+    assert len(pd.read_parquet(quarantine)) == 1

@@ -1,0 +1,83 @@
+"""Raw-corpus ingestion: JSONL and (gzip) text → the engine's tables.
+
+The reference's source layer is a buffered gzip-aware fastq reader
+(``Read.cpp:336-406``, ``gzstream.cpp:1-166``); this engine's
+equivalent is the pair of raw formats a web corpus actually arrives
+in, normalized into the partitioned parquet/Iceberg layout the rest of
+the pipeline reads (`sources/catalog.py`):
+
+* **JSONL** (one JSON document per line — the interchange format of
+  public corpus dumps): read with an EXPLICIT schema — schema
+  inference costs a full extra pass over 100 TB and is
+  non-deterministic under dirty data.  PERMISSIVE mode captures
+  undecodable lines in a ``_corrupt_record`` column instead of
+  failing the job; corrupt counts are reported, never silently
+  dropped (no-silent-caps rule).
+* **text / text.gz**: one document per line via ``spark.read.text``.
+  Spark's Hadoop codecs decompress ``.gz`` transparently (the
+  gzstream parity), BUT a gzip file is UNSPLITTABLE — one file = one
+  task regardless of size.  That is exactly the case the flagship's
+  salted repartition exists for (`plans/pipeline.py`
+  ``repartition=True``): re-balance once after the narrow decode, or
+  ingest to parquet first (this module) so every later pass gets
+  byte-balanced splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: documents-table layout (TESTDATA.md)
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, corrupt) frames from JSONL at ``path``.
+
+    ``good`` carries exactly ``schema``'s columns; ``corrupt`` the
+    raw undecodable lines.  Rows whose doc_id is null (missing or
+    type-mismatched key) are treated as corrupt too — a null primary
+    key would silently break every content-hash operator downstream."""
+    with_corrupt = T.StructType(
+        list(schema) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = spark.read.schema(with_corrupt).option("mode", "PERMISSIVE").json(path)
+    bad = raw.where(
+        F.col("_corrupt_record").isNotNull() | F.col(schema[0].name).isNull()
+    ).select(
+        F.coalesce(F.col("_corrupt_record"), F.to_json(F.struct("*"))).alias(
+            "raw_line"
+        )
+    )
+    good = raw.where(
+        F.col("_corrupt_record").isNull() & F.col(schema[0].name).isNotNull()
+    ).select(*[f.name for f in schema])
+    return good, bad
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, lang: str = "unknown"
+) -> DataFrame:
+    """One document per line (gzip transparently decoded), with
+    deterministic line-content ids: doc_id = xxhash64(text) — ids must
+    not depend on partition layout or row order (Spark preserves
+    neither), so they derive from content like every other key in
+    this engine.  Identical lines collapse to one id; `exact_dedup`
+    downstream makes that explicit."""
+    return spark.read.text(path).select(
+        F.xxhash64(F.col("value")).alias("doc_id"),
+        F.lit(lang).alias("lang"),
+        F.col("value").alias("text"),
+    )
