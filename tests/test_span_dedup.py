@@ -53,6 +53,62 @@ def test_no_duplicates_roundtrips_byte_identical(spark):
     assert [out[i] for i in range(3)] == texts
 
 
+import random
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_span_dedup_randomized_invariants(spark, seed):
+    """Properties that must hold on ANY corpus: (a) the output's
+    ≥min_len spans contain NO global duplicates (the operator's whole
+    point — and hence it is idempotent), (b) each document's surviving
+    spans are an order-preserving subsequence of its input spans, and
+    (c) the globally-first occurrence of every duplicated span
+    survives."""
+    rng = random.Random(seed)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox"]
+    shared = [
+        " ".join(rng.choices(vocab, k=4)) for _ in range(3)
+    ]  # spans likely duplicated across docs
+    rows = []
+    for i in range(40):
+        spans = [
+            rng.choice(shared)
+            if rng.random() < 0.4
+            else " ".join(rng.choices(vocab, k=rng.randint(1, 5)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        rows.append((i, ".".join(spans)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    min_len = 10
+    out = {r["doc_id"]: r for r in span_dedup(df, min_len=min_len).collect()}
+
+    inputs = dict(rows)
+    seen: dict[str, tuple] = {}
+    for i in sorted(inputs):
+        for idx, s in enumerate(inputs[i].split(".")):
+            if len(s) >= min_len and s not in seen:
+                seen[s] = (i, idx)
+
+    long_spans_out = []
+    for i in sorted(inputs):
+        in_spans = inputs[i].split(".")
+        out_spans = out[i]["text_deduped"].split(".") if out[i]["text_deduped"] else []
+        # (b) order-preserving subsequence
+        it = iter(in_spans)
+        assert all(s in it for s in out_spans)
+        assert out[i]["n_spans"] == len(in_spans)
+        assert out[i]["n_dropped"] == len(in_spans) - len(out_spans)
+        long_spans_out.extend(s for s in out_spans if len(s) >= min_len)
+        # (c) first global occurrence survives
+        for idx, s in enumerate(in_spans):
+            if len(s) >= min_len and seen[s] == (i, idx):
+                assert s in out_spans
+    # (a) no global duplicates among long spans
+    assert len(long_spans_out) == len(set(long_spans_out))
+
+
 def test_thin_exchange_plan(spark):
     df = _docs(spark, [(i, f"doc body number {i}. shared footer sentence") for i in range(50)])
     plan = span_dedup(df)._jdf.queryExecution().executedPlan().toString()
