@@ -263,7 +263,12 @@ def main() -> None:
         ("simhash_neardup_dedup", 1),
         ("winnow_clone_pairs", 2),
         ("ann_topk", 1),
-        ("lsh_ann_pairs", 2),
+        # single pass: min-of-2 doubled the suite's heaviest query for
+        # little signal (both passes land within noise of the 10.5 s
+        # steady state measured in one session, git r4); the candidate
+        # volume is a property of the gate config (threshold 0.4 on
+        # near-uniform vectors ≈ all-pairs), not the operator
+        ("lsh_ann_pairs", 1),
         ("ivf_ann_topk", 2),
         ("ivf_neardup", 1),
         ("quality_funnel", 1),
