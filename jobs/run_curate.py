@@ -157,6 +157,7 @@ def run(spark, args) -> dict:
     if args.checkpoint_dir:
         _check_resume_config(args)
         stats["resumed_stages"] = []
+    prev_persisted = []
 
     def materialize(df, stage):
         """Stage boundary.  With --checkpoint-dir the stage output is a
@@ -177,6 +178,14 @@ def run(spark, args) -> dict:
         else:
             out = df.persist(StorageLevel.MEMORY_AND_DISK)
         stats[f"after_{stage}"] = out.count()
+        # the count fully materialized this stage, so the previous
+        # stage's cached blocks are dead weight — release them (a
+        # long funnel would otherwise accumulate every intermediate
+        # corpus in the block store; ADVICE r3 cache-lifecycle rule)
+        while prev_persisted:
+            prev_persisted.pop().unpersist()
+        if not args.checkpoint_dir:
+            prev_persisted.append(out)
         return out
 
     cur = spark.read.parquet(args.input)
