@@ -84,7 +84,7 @@ def corpus_parquet(n_rows: int) -> str:
 def main() -> None:
     from urqt_spark.config import FilterConfig
     from urqt_spark.plans.pipeline import metrics, quality_filter_plan
-    from urqt_spark.session import get_spark
+    from urqt_spark.session import get_spark, set_balanced_scan_splits
 
     # budget clock starts at process entry: corpus generation and JVM
     # launch count against the driver's wall limit too (the round-1
@@ -176,17 +176,7 @@ def main() -> None:
     # cached corpus has ~1.4 MB row groups).  Zero exchanges; measured
     # ~13-17% faster than the shuffled variant at local[4] (200k files)
     # and the plan shape a 100-TB deployment runs.
-    corpus_bytes = (
-        os.path.getsize(corpus_path)
-        if os.path.isfile(corpus_path)
-        else sum(
-            os.path.getsize(os.path.join(corpus_path, f))
-            for f in os.listdir(corpus_path)
-            if f.endswith(".parquet")
-        )
-    )
-    split = max(corpus_bytes // (cpus * 8) + 1, 1 << 20)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    set_balanced_scan_splits(spark, corpus_path, slots=cpus)
     corpus = spark.read.parquet(corpus_path)
     # 8 partitions per slot: the UDF stage is the job, and a fine
     # partition grain cuts the last-wave straggler tail (measured 29s ->

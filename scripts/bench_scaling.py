@@ -41,7 +41,7 @@ import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from urqt_spark.config import FilterConfig
 from urqt_spark.plans.pipeline import quality_filter_plan
-from urqt_spark.session import get_spark
+from urqt_spark.session import get_spark, set_balanced_scan_splits
 from bench import OUT_COLS
 
 def busy_jiffies():
@@ -63,16 +63,7 @@ spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=parts
 # granularity; the cached corpus has ~1.4 MB row groups).  This is the
 # 100-TB plan shape: scan → fused UDF → sink, zero exchanges, and it
 # measured ~17% faster than the salted-repartition variant at local[4].
-corpus_bytes = (
-    os.path.getsize(corpus_path)
-    if os.path.isfile(corpus_path)
-    else sum(
-        os.path.getsize(os.path.join(corpus_path, f))
-        for f in os.listdir(corpus_path) if f.endswith(".parquet")
-    )
-)
-split = max(corpus_bytes // (cpus * 8) + 1, 1 << 20)
-spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+set_balanced_scan_splits(spark, corpus_path, slots=cpus)
 corpus = spark.read.parquet(corpus_path)
 n_files = corpus.count()
 cfg = FilterConfig(shuffle_partitions=parts)

@@ -72,3 +72,35 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def set_balanced_scan_splits(
+    spark: SparkSession, path: str, slots: int, tasks_per_slot: int = 8
+) -> int:
+    """Size ``spark.sql.files.maxPartitionBytes`` so a parquet scan of
+    ``path`` splits into ~``slots × tasks_per_slot`` tasks.
+
+    This is what makes the SHUFFLE-FREE flagship plan viable: the fused
+    decision chain is row-local, so if the SCAN is byte-balanced no
+    repartition exchange is needed at all — fine grain cuts the
+    last-wave straggler tail (measured 29→24 s at local[8]).  Parquet
+    splits at row-group granularity, so the realized split count also
+    depends on the writer's row-group size; at 100 TB row groups are
+    abundant and this conf is the only knob needed.  For UNSPLITTABLE
+    sources (gzip text) this cannot help — use the salted repartition
+    (`plans/pipeline.py`, ``repartition=True``) instead.
+
+    Returns the byte size set.  Floor of 1 MiB (below that, per-task
+    scheduling overhead dominates)."""
+    if os.path.isfile(path):
+        total = os.path.getsize(path)
+    else:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    split = max(total // (slots * tasks_per_slot) + 1, 1 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    return split
