@@ -156,3 +156,25 @@ def test_lsh_ann_materialized_once_single_udf(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2, "banded frame not cached on both sides"
     spark.catalog.clearCache()
+
+
+def test_set_balanced_scan_splits(spark, tmp_path):
+    """The shuffle-free flagship's scan knob: split size targets
+    ~slots×8 tasks with a 1 MiB floor, and nested (lang-partitioned)
+    layouts are walked."""
+    import pandas as pd
+
+    from urqt_spark.session import set_balanced_scan_splits
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        pd.DataFrame({"lang": ["en", "fr"] * 500, "x": range(1000)})
+    )
+    df.write.partitionBy("lang").parquet(p)
+    split = set_balanced_scan_splits(spark, p, slots=4)
+    assert split == 1 << 20  # tiny table -> floor applies
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(split)
+    # single-file path form
+    f = str(tmp_path / "one.parquet")
+    pd.DataFrame({"x": range(10)}).to_parquet(f)
+    assert set_balanced_scan_splits(spark, f, slots=2) == 1 << 20
