@@ -27,7 +27,10 @@ from urqt_spark.functions.corpus_filters import (
     repetition_signals,
 )
 from urqt_spark.functions.scrub import scrub_spark_col, scrub_sql
+from urqt_spark.functions.text import STOPWORDS as _STOPWORDS
 from urqt_spark.functions.toxicity import toxicity_oracle_sql
+
+_STOPWORD_SQL_LIST = ",".join(f"'{s}'" for s in sorted(_STOPWORDS))
 from urqt_spark.functions.text import winnow_clone_pairs_oracle_sql, winnow_oracle_sql
 from urqt_spark.operators.decontaminate import (
     containment_oracle_sql,
@@ -248,6 +251,31 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_quota_sample(
         _docs(spark, sf_dir), quota=40, strata_col="lang", seed=3
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "sample_rank")
+
+
+def q_score_buckets(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail bucketing
+    (operators/bucketing.py): documents ranked within their language
+    by a quality score (here the stopword fraction standing in for LM
+    perplexity — the production score column — because it is
+    relationally exact), tie-broken by doc_id, ntile(3) buckets —
+    integer bucket arithmetic, zero cross-engine float risk."""
+    from urqt_spark.functions.text import STOPWORDS
+    from urqt_spark.operators.bucketing import score_buckets
+
+    words = F.split(F.col("text"), " ")
+    score = (
+        F.size(F.filter(words, lambda w: F.lower(w).isin(list(STOPWORDS))))
+        / F.size(words)
+    )
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        score.alias("score"),
+    )
+    return score_buckets(base, "score", ascending=False).select(
+        "doc_id", "lang", "score", "bucket", "bucket_label"
+    )
 
 
 def q_toxicity_screen(spark, sf_dir):
@@ -1272,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "semantic_dedup": q_semantic_dedup,
         "toxicity_screen": q_toxicity_screen,
+        "score_buckets": q_score_buckets,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_stats": q_bpe_token_stats,
         "top_ngrams": q_top_ngrams,
@@ -1450,6 +1479,23 @@ def oracle_sql() -> dict[str, str]:
             relation="aug", prelude_ctes=f"aug AS ({_QF_AUG_SQL})"
         ),
         "toxicity_screen": toxicity_oracle_sql(),
+        "score_buckets": f"""
+            WITH s AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                     CAST(len(list_filter(string_split(text, ' '),
+                       w -> list_contains([{_STOPWORD_SQL_LIST}], lower(w)))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS score
+              FROM documents),
+            b AS (
+              SELECT doc_id, lang, score,
+                     CAST(ntile(3) OVER (
+                       PARTITION BY lang ORDER BY score DESC, doc_id
+                     ) AS BIGINT) AS bucket
+              FROM s)
+            SELECT doc_id, lang, score, bucket,
+                   CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket_label
+            FROM b""",
         "mixture_sample": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
             FROM documents

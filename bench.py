@@ -267,6 +267,7 @@ def main() -> None:
         ("semantic_dedup", 1),
         ("mixture_sample", 1),
         ("toxicity_screen", 1),
+        ("score_buckets", 1),
         ("repetition_signals", 1),
         ("hash_sample", 1),
         ("stratified_sample", 1),

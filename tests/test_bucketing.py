@@ -1,0 +1,54 @@
+"""CCNet-style score bucketing — ntile semantics, tie-break
+determinism, keep-head rule, one-exchange plan."""
+
+import pytest
+
+from urqt_spark.operators.bucketing import keep_head, score_buckets
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, score double")
+
+
+def test_buckets_are_balanced_and_ordered(spark):
+    rows = [(i, "en", float(i)) for i in range(9)]
+    out = {r["doc_id"]: r.asDict() for r in score_buckets(_df(spark, rows), "score").collect()}
+    # ascending: lowest scores -> bucket 1 ("head")
+    assert [out[i]["bucket"] for i in range(9)] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    assert out[0]["bucket_label"] == "head" and out[8]["bucket_label"] == "tail"
+
+
+def test_uneven_counts_follow_ansi_ntile(spark):
+    rows = [(i, "en", float(i)) for i in range(7)]  # 7 = 3+2+2
+    out = score_buckets(_df(spark, rows), "score").groupBy("bucket").count().collect()
+    assert {r["bucket"]: r["count"] for r in out} == {1: 3, 2: 2, 3: 2}
+
+
+def test_ties_break_by_id_and_strata_are_independent(spark):
+    rows = [(i, "en", 1.0) for i in range(6)] + [(i + 100, "fr", float(i)) for i in range(3)]
+    out = {r["doc_id"]: r.asDict() for r in score_buckets(_df(spark, rows), "score").collect()}
+    # all-equal scores: lower ids fill earlier buckets (total order)
+    assert [out[i]["bucket"] for i in range(6)] == [1, 1, 2, 2, 3, 3]
+    assert [out[i + 100]["bucket"] for i in range(3)] == [1, 2, 3]
+
+
+def test_keep_head_and_descending(spark):
+    rows = [(i, "en", float(i)) for i in range(6)]
+    kept = sorted(r["doc_id"] for r in keep_head(_df(spark, rows), "score").collect())
+    assert kept == [0, 1]  # ascending default: lowest scores
+    flipped = score_buckets(_df(spark, rows), "score", ascending=False)
+    top = {r["doc_id"]: r["bucket"] for r in flipped.collect()}
+    assert top[5] == 1 and top[0] == 3
+    with pytest.raises(ValueError):
+        score_buckets(_df(spark, rows), "score", n_buckets=0)
+
+
+def test_single_exchange_plan(spark):
+    rows = [(i, "en" if i % 2 else "fr", float(i)) for i in range(50)]
+    plan = (
+        score_buckets(_df(spark, rows), "score")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1

@@ -1,0 +1,77 @@
+"""CCNet-style per-stratum score bucketing (public method: Wenzek et
+al. 2020 split each language's documents into head/middle/tail by LM
+perplexity and kept the head for training).
+
+Generic form: ``score_buckets`` ranks documents WITHIN each stratum by
+any per-document score and assigns ``ntile`` buckets.  In production
+the score is the perplexity column the flagship already computes
+(`functions/perplexity.py`); the gate entry uses a relationally-exact
+proxy score so the DuckDB oracle can reproduce it literally.
+
+Determinism contract: the window orders by ``(score, id)`` — the id
+tie-break makes the ranking total, and ``ntile`` is INTEGER-defined
+(ANSI: first ``n_rows mod n`` buckets get the extra row), so bucket
+boundaries carry zero float risk across engines — unlike
+``floor(percent_rank · n)`` there is no multiply-at-a-boundary case.
+
+Execution shape: ONE exchange on the stratum key + an in-partition
+sort; only (id, stratum, score) need travel — at 100 TB project those
+three columns before calling (the full-width join-back is an id-only
+broadcast or sort-merge the caller controls).  Skewed strata (one
+giant language) sort within a single partition: for those, pre-split
+by `hash_threshold_sample`-style rate into rough score ranges first,
+or accept the sort — Spark's external sort spills, it does not OOM.
+
+Reference parity: none in UrQt (per-read thresholds only, O13); this
+is the corpus-relative version of its absolute QC threshold filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_LABELS = ("head", "middle", "tail")
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = DEFAULT_LABELS,
+    ascending: bool = True,
+) -> DataFrame:
+    """Adds ``bucket`` (1-based ntile) and, when ``labels`` fits,
+    ``bucket_label``.  ``ascending=True`` puts the LOWEST scores in
+    bucket 1 (CCNet: low perplexity = head)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    score = F.col(score_col) if ascending else F.col(score_col).desc()
+    w = Window.partitionBy(strata_col).orderBy(score, F.col(id_col))
+    out = df.withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+    if labels and len(labels) == n_buckets:
+        lab = F.lit(labels[-1])
+        for i in range(n_buckets - 2, -1, -1):
+            lab = F.when(F.col("bucket") == i + 1, F.lit(labels[i])).otherwise(lab)
+        out = out.withColumn("bucket_label", lab)
+    return out
+
+
+def keep_head(
+    df: DataFrame,
+    score_col: str,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's keep rule: bucket 1 (lowest scores) only, original
+    columns."""
+    return (
+        score_buckets(
+            df, score_col, strata_col, id_col, n_buckets, labels=None
+        )
+        .where(F.col("bucket") == 1)
+        .drop("bucket")
+    )
