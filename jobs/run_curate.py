@@ -26,7 +26,10 @@ pipeline runs them:
    (operators/span_dedup.py): duplicated sentences deleted from all
    but their first occurrence, documents rebuilt; text never
    shuffles.
-5. **sample**   — deterministic content-hash draw: ``--temperature``
+5. **LM filter** (``--ppl-head-buckets N``) — CCNet's rule: score the
+   survivors with the char-LM perplexity UDF and keep each stratum's
+   lowest-perplexity 1/N (operators/bucketing.py ``keep_head``).
+6. **sample**   — deterministic content-hash draw: ``--temperature``
    [+ ``--budget``] (n^(1/T) mixture rates derived from the live
    per-stratum counts, applied row-locally), ``--sample-rate``
    (row-local threshold draw) or ``--quota`` per ``--strata-col``
@@ -76,6 +79,9 @@ def parse_args(argv=None):
                    help="max allowed shingle-containment vs --eval")
     p.add_argument("--ngram", type=int, default=5)
     p.add_argument("--dedup-threshold", type=float, default=0.8)
+    p.add_argument("--ppl-head-buckets", type=int, default=None,
+                   help="CCNet LM filter: keep the lowest-perplexity "
+                        "1/N of each stratum (after dedup)")
     p.add_argument("--span-dedup", action="store_true",
                    help="C4-style cross-document span dedup after doc dedup")
     p.add_argument("--span-delim", default=".")
@@ -247,6 +253,19 @@ def run(spark, args) -> dict:
         keep_cols = [c for c in cur.columns if c not in (args.text_col,)]
         cur = materialize(
             cur.select(*keep_cols).join(deduped, args.id_col), "span_dedup"
+        )
+
+    if args.ppl_head_buckets:
+        from urqt_spark.functions.perplexity import with_perplexity
+        from urqt_spark.operators.bucketing import keep_head
+
+        scored = with_perplexity(cur, text_col=args.text_col)
+        cur = materialize(
+            keep_head(
+                scored, "ppl", strata_col=args.strata_col,
+                id_col=args.id_col, n_buckets=args.ppl_head_buckets,
+            ).drop("ppl"),
+            "ppl_head",
         )
 
     if args.temperature is not None:

@@ -130,6 +130,24 @@ def test_curate_blocklist_stage(spark, tmp_path, capsys):
     assert 20 not in set(got.doc_id)
 
 
+def test_curate_ppl_head_filter(spark, tmp_path, capsys):
+    rows = [(i, "en" if i % 2 else "fr", _good_text(i)) for i in range(18)]
+    inp = _write(tmp_path, "docs.parquet", rows)
+    out = str(tmp_path / "curated")
+    rc = main(
+        ["--input", inp, "--output", out, "--skip-dedup",
+         "--ppl-head-buckets", "3"],
+        spark=spark,
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 9 docs per lang -> head third = 3 per lang
+    assert stats["after_ppl_head"] == 6
+    got = pd.read_parquet(out)
+    assert len(got) == 6
+    assert "ppl" not in got.columns and "bucket" not in got.columns
+
+
 def test_curate_checkpoint_resume(spark, tmp_path, capsys):
     import pytest
 
