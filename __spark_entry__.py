@@ -253,6 +253,68 @@ def q_stratified_sample(spark, sf_dir):
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "sample_rank")
 
 
+def q_streaming_quality(spark, sf_dir):
+    """The corpus-filter funnel bound to Structured Streaming — the
+    quality layer is stream-ready because every signal is ROW-LOCAL
+    (scan → project → filter; the repetition family's pandas UDF is
+    stateless, so it runs unchanged in micro-batches).  Augmented docs
+    replayed as 4 files, availableNow trigger, parquet sink; the
+    oracle recomputes the survivors relationally — stream ≡ batch ≡
+    SQL."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time
+
+    from urqt_spark.functions.corpus_filters import (
+        c4_filter_cols,
+        gopher_quality_cols,
+        make_repetition_udf,
+        repetition_pass_col,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_squal_")
+    try:
+        in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+        _os.makedirs(in_dir)
+        aug = _aug_docs(spark, sf_dir).toPandas().sort_values("doc_id")
+        n, now = len(aug), time.time()
+        for i in range(4):
+            part = aug.iloc[i * n // 4 : (i + 1) * n // 4]
+            p = f"{in_dir}/part{i}.parquet"
+            part.to_parquet(p, index=False)
+            _os.utime(p, (now + 10 * i, now + 10 * i))  # pin batch order
+
+        rep = make_repetition_udf()
+        src = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        flagged = src.select(
+            "doc_id",
+            "lang",
+            *gopher_quality_cols(F.col("text")),
+            *c4_filter_cols(F.col("text")),
+            repetition_pass_col(rep(F.col("text"))).alias("repetition_pass"),
+        ).where(
+            F.col("gopher_pass") & F.col("c4_pass") & F.col("repetition_pass")
+        )
+        q = (
+            flagged.select("doc_id", "lang")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir).orderBy("doc_id").collect()
+        return spark.createDataFrame(out, "doc_id long, lang string")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_score_buckets(spark, sf_dir):
     """CCNet-style per-language head/middle/tail bucketing
     (operators/bucketing.py): documents ranked within their language
@@ -1301,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "toxicity_screen": q_toxicity_screen,
         "score_buckets": q_score_buckets,
+        "streaming_quality": q_streaming_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_stats": q_bpe_token_stats,
         "top_ngrams": q_top_ngrams,
@@ -1479,6 +1542,17 @@ def oracle_sql() -> dict[str, str]:
             relation="aug", prelude_ctes=f"aug AS ({_QF_AUG_SQL})"
         ),
         "toxicity_screen": toxicity_oracle_sql(),
+        "streaming_quality": f"""
+            WITH aug AS ({_QF_AUG_SQL}),
+                 g AS ({gopher_quality_oracle_sql(relation="aug")}),
+                 c AS ({c4_oracle_sql(relation="aug")}),
+                 r AS (SELECT * FROM ({repetition_oracle_sql(relation="aug")}))
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_id, a.lang
+            FROM aug a
+            JOIN g ON g.doc_id = CAST(a.doc_id AS BIGINT)
+            JOIN c ON c.doc_id = CAST(a.doc_id AS BIGINT)
+            JOIN r ON r.doc_id = CAST(a.doc_id AS BIGINT)
+            WHERE g.gopher_pass AND c.c4_pass AND r.repetition_pass""",
         "score_buckets": f"""
             WITH s AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
