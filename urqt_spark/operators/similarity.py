@@ -207,6 +207,8 @@ def lsh_neardup_pairs(
     re-run the UDF (the same double-execution measured for minhash,
     dedup.py).  Callers own cache release (see winnow_clone_pairs'
     lifecycle note)."""
+    from pyspark.storagelevel import StorageLevel
+
     v = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -223,10 +225,30 @@ def lsh_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # norms folded ONCE per vector, not once per candidate pair: at a
+    # low threshold the candidate set is ~quadratic (all-pairs on this
+    # gate config), and re-folding ||v|| per pair made the interpreted
+    # HOF norm the dominant cost (2 of 3 folds per pair).  The persist
+    # pins the per-row computation — projection collapse would
+    # otherwise inline the fold back into the join output.  Values are
+    # bit-identical: same fold over the same vector.
+    vn = v.withColumn("nrm", _norm(F.col("v"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = cand.join(
-        v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
-    ).join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-    cos = cosine_col(F.col("va"), F.col("vb"))
+        vn.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        vn.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "id_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
