@@ -72,13 +72,22 @@ def all_pairs_neardup(
 ) -> DataFrame:
     """Exact near-duplicate pairs (cosine ≥ threshold) via self-join —
     the small-data oracle path.  Quadratic: do NOT run at full scale;
-    use :func:`lsh_neardup_pairs` there (same output contract)."""
-    v = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    use :func:`lsh_neardup_pairs` there (same output contract).
+
+    Norms are folded once per VECTOR (persisted frame), not once per
+    pair — see lsh_neardup_pairs; bit-identical values."""
+    from pyspark.storagelevel import StorageLevel
+
+    v = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = v.alias("a"), v.alias("b")
-    cos = cosine_col(F.col("a.v"), F.col("b.v"))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
@@ -532,14 +541,28 @@ def ivf_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    v = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    v = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = cand.join(
-        v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
-    ).join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-    cos = cosine_col(F.col("va"), F.col("vb"))
+        v.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        v.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "id_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
