@@ -151,6 +151,8 @@ def make_lsh_buckets_udf(dim: int, n_planes: int = 16, n_tables: int = 1, seed: 
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype=object)
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (R, D)
         signs = (M @ planes) > 0  # (R, T*P)
         buckets = signs.reshape(len(M), n_tables, n_planes).astype(np.int64) @ weights
