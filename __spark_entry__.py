@@ -474,6 +474,25 @@ def q_winnow_clone_pairs(spark, sf_dir):
     )
 
 
+def q_clone_dedup(spark, sf_dir):
+    """Substring-level dedup resolve — the third leg of the resolve
+    triad (text n-grams: fuzzy_dedup_resolve; embeddings:
+    semantic_dedup; shared substrings: this).  Winnowing clone pairs →
+    star-contraction components → broadcast anti-join; one
+    representative per clone cluster survives."""
+    from urqt_spark.functions.text import winnow_clone_pairs
+    from urqt_spark.operators.dedup import fuzzy_dedup_resolve
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    pairs = winnow_clone_pairs(
+        _docs(spark, sf_dir), k=WCP_K, w=WCP_W, min_shared=WCP_MIN,
+        max_df=WCP_MAX_DF,
+    ).select("id_a", "id_b")
+    return fuzzy_dedup_resolve(docs, pairs, id_col="doc_id")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
     return _docs(spark, sf_dir).select(
@@ -1364,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toxicity_screen": q_toxicity_screen,
         "score_buckets": q_score_buckets,
         "streaming_quality": q_streaming_quality,
+        "clone_dedup": q_clone_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_stats": q_bpe_token_stats,
         "top_ngrams": q_top_ngrams,
@@ -1607,6 +1627,17 @@ def oracle_sql() -> dict[str, str]:
         "winnow_clone_pairs": winnow_clone_pairs_oracle_sql(
             "documents", WCP_K, WCP_W, WCP_MIN, max_df=WCP_MAX_DF
         ),
+        "clone_dedup": f"""
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+            FROM documents d
+            WHERE CAST(d.doc_id AS BIGINT) NOT IN (
+              SELECT id FROM ({neardup_components_oracle_sql(
+                  "SELECT id_a, id_b FROM ("
+                  + winnow_clone_pairs_oracle_sql(
+                      "documents", WCP_K, WCP_W, WCP_MIN, max_df=WCP_MAX_DF
+                  )
+                  + ")"
+              )}) WHERE id != component)""",
         "sampled_composition": f"""
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
                    ROUND(SUM(list_sum(list_transform(string_split(text, ' '),

@@ -268,6 +268,7 @@ def main() -> None:
         ("mixture_sample", 1),
         ("toxicity_screen", 1),
         ("score_buckets", 1),
+        ("clone_dedup", 1),
         ("repetition_signals", 1),
         ("hash_sample", 1),
         ("stratified_sample", 1),

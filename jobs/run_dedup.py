@@ -24,6 +24,13 @@ Methods:
                   broadcast anti-join of the drop list — the output
                   is the surviving corpus itself, one representative
                   per exact+near-dup cluster
+* ``clones-resolve`` — winnowing clone pairs → components →
+                  anti-join (substring-level resolve)
+* ``spans``     — C4-style cross-document span dedup: duplicated
+                  sentences removed, documents rebuilt
+* ``semantic``  — SemDeDup-style embedding dedup over ``--vec-col``
+                  (IVF cell-local pairs → components → anti-join);
+                  input may be a parquet file or directory
 
 Prints ONE JSON stats line on stdout.
 """
@@ -45,10 +52,16 @@ def parse_args(argv=None):
     p.add_argument(
         "--method",
         required=True,
-        choices=["exact", "minhash", "simhash", "clones", "resolve"],
+        choices=[
+            "exact", "minhash", "simhash", "clones", "resolve",
+            "clones-resolve", "spans", "semantic",
+        ],
     )
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--vec-col", default="embedding",
+                   help="embedding column for --method semantic")
+    p.add_argument("--span-min-len", type=int, default=10)
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--max-hamming", type=int, default=8)
     p.add_argument("--min-shared", type=int, default=4)
@@ -89,7 +102,7 @@ def run(spark, args) -> dict:
             df, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
         )
         out = fuzzy_dedup_resolve(reps, pairs, id_col=args.id_col)
-    else:  # clones
+    elif args.method == "clones":
         out = winnow_clone_pairs(
             df,
             text_col=args.text_col,
@@ -98,6 +111,35 @@ def run(spark, args) -> dict:
             w=8,
             min_shared=args.min_shared,
         )
+    elif args.method == "clones-resolve":
+        pairs = winnow_clone_pairs(
+            df, text_col=args.text_col, id_col=args.id_col,
+            k=16, w=8, min_shared=args.min_shared,
+        ).select("id_a", "id_b")
+        out = fuzzy_dedup_resolve(df, pairs, id_col=args.id_col)
+    elif args.method == "spans":
+        from urqt_spark.operators.span_dedup import span_dedup
+
+        out = span_dedup(
+            df, min_len=args.span_min_len,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+    else:  # semantic
+        from urqt_spark.operators.similarity import (
+            auto_n_centroids,
+            ivf_centroids,
+            ivf_neardup_pairs,
+        )
+
+        cents = ivf_centroids(
+            args.input, n_centroids=auto_n_centroids(args.input),
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+        pairs = ivf_neardup_pairs(
+            df, cents, threshold=args.threshold,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+        out = fuzzy_dedup_resolve(df, pairs, id_col=args.id_col)
     out.write.mode("overwrite").parquet(args.output)
     return {
         "method": args.method,

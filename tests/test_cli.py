@@ -199,3 +199,64 @@ def test_dedup_job(spark, tmp_path):
     kept = spark.read.parquet(out3)
     assert sorted(r.doc_id for r in kept.collect()) == [0, 3]
     assert sorted(kept.columns) == ["doc_id", "text"]  # full payload survives
+
+
+def test_dedup_job_new_methods(spark, tmp_path):
+    """spans / clones-resolve / semantic methods of the dedup CLI;
+    semantic reads its training sample from a parquet DIRECTORY."""
+    import numpy as np
+    import pandas as pd
+
+    from jobs.run_dedup import main as dedup_main
+
+    # spans: a shared long sentence across docs
+    rows = [
+        {"doc_id": i, "text": f"unique body number {i}. shared footer sentence"}
+        for i in range(4)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(src, index=False)
+    out = str(tmp_path / "spans")
+    rc = dedup_main(
+        ["--input", src, "--output", out, "--method", "spans"], spark=spark
+    )
+    assert rc == 0
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert got[0].n_dropped == 0 and all(got[i].n_dropped == 1 for i in (1, 2, 3))
+
+    # clones-resolve: two docs sharing a long exact region collapse
+    region = "zXq1 vRb2 nMk3 pLw4 qTy5 sDf6 gHj7 kZx8 cVb9 wEr0 " * 3
+    rows2 = [
+        {"doc_id": 0, "text": region + " tail one"},
+        {"doc_id": 1, "text": region + " tail two"},
+        {"doc_id": 2, "text": "entirely different content with no overlap at all"},
+    ]
+    src2 = str(tmp_path / "docs2.parquet")
+    pd.DataFrame(rows2).to_parquet(src2, index=False)
+    out2 = str(tmp_path / "clones")
+    rc = dedup_main(
+        ["--input", src2, "--output", out2, "--method", "clones-resolve",
+         "--min-shared", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert sorted(r.doc_id for r in spark.read.parquet(out2).collect()) == [0, 2]
+
+    # semantic over a parquet DIRECTORY (multi-file metadata path)
+    rng = np.random.default_rng(5)
+    base_vecs = rng.standard_normal((6, 8))
+    vecs = list(base_vecs) + [base_vecs[0] + 1e-4]  # vec 6 ~ vec 0
+    emb = pd.DataFrame(
+        {"vec_id": range(7), "embedding": [v.tolist() for v in vecs]}
+    )
+    emb_dir = str(tmp_path / "emb")
+    spark.createDataFrame(emb).repartition(2).write.parquet(emb_dir)
+    out3 = str(tmp_path / "sem")
+    rc = dedup_main(
+        ["--input", emb_dir, "--output", out3, "--method", "semantic",
+         "--id-col", "vec_id", "--threshold", "0.99"],
+        spark=spark,
+    )
+    assert rc == 0
+    kept = sorted(r.vec_id for r in spark.read.parquet(out3).collect())
+    assert kept == [0, 1, 2, 3, 4, 5]  # near-identical vec 6 dropped

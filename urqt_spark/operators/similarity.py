@@ -273,6 +273,22 @@ def lsh_neardup_pairs(
 _IVF_CACHE: dict[tuple, list[list[float]]] = {}
 
 
+def _parquet_files(path: str) -> list[str]:
+    """A parquet 'table path' is one file OR a (possibly partitioned)
+    directory; return its data files in sorted (deterministic) order."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            raise ValueError(f"no parquet files under {path!r}")
+        return files
+    return [path]
+
+
 def ivf_training_sample(
     parquet_path: str,
     vec_col: str = "embedding",
@@ -300,32 +316,36 @@ def ivf_training_sample(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(parquet_path)
-    n_rows = pf.metadata.num_rows
+    pfs = [pq.ParquetFile(f) for f in _parquet_files(parquet_path)]
+    n_rows = sum(pf.metadata.num_rows for pf in pfs)
     P = max(1, n_rows // sample_target)
     ids_parts: list[np.ndarray] = []
     vec_parts: list[list] = []
-    for batch in pf.iter_batches(columns=[id_col, vec_col]):
-        i_id = batch.schema.get_field_index(id_col)
-        i_vec = batch.schema.get_field_index(vec_col)
-        ids_np = batch.column(i_id).to_numpy(zero_copy_only=False).astype(np.int64)
-        sel = np.nonzero(ids_np % P == 0)[0]
-        if len(sel):
-            ids_parts.append(ids_np[sel])
-            vec_parts.extend(
-                batch.column(i_vec).take(pa.array(sel)).to_pylist()
-            )
+    for pf in pfs:
+        for batch in pf.iter_batches(columns=[id_col, vec_col]):
+            i_id = batch.schema.get_field_index(id_col)
+            i_vec = batch.schema.get_field_index(vec_col)
+            ids_np = batch.column(i_id).to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = np.nonzero(ids_np % P == 0)[0]
+            if len(sel):
+                ids_parts.append(ids_np[sel])
+                vec_parts.extend(
+                    batch.column(i_vec).take(pa.array(sel)).to_pylist()
+                )
     if not ids_parts and P > 1:
         # sparse/offset id space defeated the value-modulus sample:
         # fall back to row-position sampling (every row up to a bound)
         cap = 2 * sample_target
-        for batch in pf.iter_batches(columns=[id_col, vec_col]):
-            i_id = batch.schema.get_field_index(id_col)
-            i_vec = batch.schema.get_field_index(vec_col)
-            ids_parts.append(
-                batch.column(i_id).to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            vec_parts.extend(batch.column(i_vec).to_pylist())
+        for pf in pfs:
+            for batch in pf.iter_batches(columns=[id_col, vec_col]):
+                i_id = batch.schema.get_field_index(id_col)
+                i_vec = batch.schema.get_field_index(vec_col)
+                ids_parts.append(
+                    batch.column(i_id).to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                vec_parts.extend(batch.column(i_vec).to_pylist())
+                if sum(len(p) for p in ids_parts) >= cap:
+                    break
             if sum(len(p) for p in ids_parts) >= cap:
                 break
         P = 1
@@ -355,7 +375,9 @@ def auto_n_centroids(
 
     import pyarrow.parquet as pq
 
-    n_rows = pq.ParquetFile(parquet_path).metadata.num_rows
+    n_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(parquet_path)
+    )
     return max(lo, min(hi, int(round(math.sqrt(max(n_rows, 1))))))
 
 
