@@ -278,6 +278,31 @@ def main() -> None:
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR)._jdf.count(), passes=passes)
 
+    # -- the COMPOSED curation funnel (jobs/run_curate.py) end to end:
+    #    quality screens + exact/near dedup + span dedup + temperature
+    #    mixture over the augmented documents table (the raw synthetic
+    #    docs carry no punctuation, so C4 would drop everything — the
+    #    same reason the oracle entries augment)
+    from jobs.run_curate import parse_args as curate_args
+    from jobs.run_curate import run as curate_run
+
+    aug_path = f"{sink_root}/aug_docs"
+    E._aug_docs(spark, SF_DIR).write.mode("overwrite").parquet(aug_path)
+
+    def funnel():
+        curate_run(
+            spark,
+            curate_args(
+                [
+                    "--input", aug_path,
+                    "--output", f"{sink_root}/curated",
+                    "--span-dedup", "--temperature", "2.0",
+                ]
+            ),
+        )
+
+    timed("curation_funnel", funnel, passes=2)
+
     shutil.rmtree(sink_root, ignore_errors=True)
     total = round(time.time() - t_start, 3)
     files_per_sec = (
