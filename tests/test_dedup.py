@@ -728,3 +728,22 @@ def test_fuzzy_dedup_resolve_keeps_one_rep_per_cluster(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2, 4, 6]
     assert "BroadcastHashJoin" in kept._jdf.queryExecution().executedPlan().toString()
     spark.catalog.clearCache()
+
+
+def test_fuzzy_resolve_shuffled_anti_join_variant(spark):
+    """broadcast_drops=False is the high-dup-rate regime: same output,
+    no forced broadcast of the drop list."""
+    from urqt_spark.operators.dedup import fuzzy_dedup_resolve
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    a = sorted(r.doc_id for r in fuzzy_dedup_resolve(docs, pairs).collect())
+    b = sorted(
+        r.doc_id
+        for r in fuzzy_dedup_resolve(docs, pairs, broadcast_drops=False).collect()
+    )
+    assert a == b == [0, 3, 4, 5, 7, 8, 9]

@@ -555,18 +555,28 @@ def fuzzy_dedup_resolve(
     pairs: DataFrame,
     id_col: str = "doc_id",
     components=neardup_components_star,
+    broadcast_drops: bool = True,
 ) -> DataFrame:
     """The end of the fuzzy-dedup pipeline: given the corpus and its
     near-dup PAIRS, return only the surviving rows — one representative
     (the minimum id) per near-dup cluster, every non-clustered row
-    untouched.  pairs → components → broadcast-anti-join the drop list
-    (components are tiny relative to the corpus: only clustered ids
-    appear), so the full-width document payload crosses no shuffle."""
+    untouched.  pairs → components → anti-join the drop list; only ids
+    cross the join, never the document payload.
+
+    ``broadcast_drops`` picks the anti-join strategy for the dup-rate
+    REGIME: True (default) broadcasts the drop list — right when
+    clustered ids are a small corpus fraction (curated/incremental
+    corpora).  On raw web crawls dup rates run 30-80%, and a 10¹¹-id
+    drop list cannot live on every executor — pass False to let the
+    anti-join shuffle on id instead (sort-merge; AQE still converts it
+    back to broadcast at runtime if the list turns out small)."""
     comp = components(pairs)
     drops = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return docs.join(F.broadcast(drops), on=id_col, how="left_anti")
+    if broadcast_drops:
+        drops = F.broadcast(drops)
+    return docs.join(drops, on=id_col, how="left_anti")
 
 
 def neardup_components_oracle_sql(pairs_sql: str) -> str:
