@@ -194,6 +194,33 @@ def test_mixture_resample_rates_and_whitelist(spark):
     assert "Exchange" not in plan
 
 
+def test_quota_prefilter_equals_plain_plan(spark):
+    """The two-phase quota plan is an optimization, not a semantics
+    change: identical output to the full-sort plan, including when a
+    tiny prefilter factor forces the per-stratum exact fallback."""
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(500)],
+        "doc_id long, lang string",
+    )
+
+    def key_set(frame):
+        return {(r["doc_id"], r["sample_rank"]) for r in frame.collect()}
+
+    plain = key_set(stratified_quota_sample(df, 12, seed=9, prefilter=False))
+    fast = key_set(stratified_quota_sample(df, 12, seed=9))
+    assert fast == plain
+    # factor too small to fill the quota -> fallback fires, result same
+    forced = key_set(
+        stratified_quota_sample(df, 12, seed=9, prefilter_factor=0.01)
+    )
+    assert forced == plain
+    # stratum smaller than the quota: rate clamps to 1.0, all rows kept
+    tiny = spark.createDataFrame(
+        [(i, "xx") for i in range(5)], "doc_id long, lang string"
+    )
+    assert len(stratified_quota_sample(tiny, 40, seed=1).collect()) == 5
+
+
 def test_hash_sample_rates_are_nested(spark):
     """Production invariant: raising the rate only ADDS documents —
     the r1 draw is a strict subset of the r2 > r1 draw (threshold

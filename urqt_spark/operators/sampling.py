@@ -136,22 +136,71 @@ def stratified_quota_sample(
     strata_col: str = "lang",
     key_col: str = "doc_id",
     seed: int = 0,
+    prefilter: bool = True,
+    prefilter_factor: float = 4.0,
 ) -> DataFrame:
     """At most ``quota`` rows per stratum, drawn uniformly (content-
     hash order) and reproducibly.  Adds ``sample_rank`` (1-based,
     tie-free because sha prefixes of distinct keys collide with
     p ≈ 16^-12 per pair).
 
-    Plan: ONE exchange on ``strata_col`` → running window rank →
-    filter.  The window needs no global sort — Spark sorts within
-    partitions only."""
+    Plain plan (``prefilter=False``): ONE exchange on ``strata_col`` →
+    running window rank → filter.  Correct but it SORTS every stratum:
+    a 10⁹-row language pays a 10⁹-row sort for 40 winners.
+
+    Two-phase plan (default): since the draw keeps the LOWEST hashes,
+    any row with hash-fraction ≥ ``prefilter_factor·quota / n_stratum``
+    is outside the top-``quota`` whenever the prefiltered stratum still
+    holds ≥ min(quota, n) rows — so the expensive window only ranks the
+    ~``factor·quota`` survivors per stratum.  The probabilistic step
+    NEVER affects correctness: per-stratum sufficiency is checked, and
+    underfilled strata (P ≈ e^{-quota} at factor 4) fall back to the
+    exact plan; results are identical to ``prefilter=False`` by
+    construction.  Cost: one thin counts aggregate + one bounded
+    driver check; strata with n ≤ factor·quota keep rate 1.0 and lose
+    nothing."""
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")
     h = sample_hash_col(F.col(key_col), seed).alias("_sample_hash")
     w = Window.partitionBy(strata_col).orderBy(F.col("_sample_hash"), F.col(key_col))
-    return (
-        df.select("*", h)
-        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("sample_rank") <= quota)
-        .drop("_sample_hash")
+
+    def ranked(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+            .where(F.col("sample_rank") <= quota)
+            .drop("_sample_hash")
+        )
+
+    base = df.select("*", h)
+    if not prefilter:
+        return ranked(base)
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    # hash prefix as an exact double (16^12 < 2^53); engine-internal
+    # only — the RESULT equals the plain plan, so no oracle coupling
+    frac = F.conv(F.col("_sample_hash"), 16, 10).cast("double") / float(
+        16**HEX_DIGITS
     )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(prefilter_factor) * quota) / F.col("_n")
+    )
+    pre = base.join(counts, strata_col).where(frac < rate)
+    # sufficiency check: a stratum is safely prefiltered iff it kept
+    # >= min(quota, n) rows — then its top-quota == the global one
+    got = pre.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_got"))
+    bad = [
+        r[0]
+        for r in counts.join(got, strata_col, "left")
+        .where(
+            F.coalesce(F.col("_got"), F.lit(0))
+            < F.least(F.lit(quota), F.col("_n"))
+        )
+        .select(strata_col)
+        .collect()
+    ]
+    pre = pre.drop("_n")
+    if not bad:
+        return ranked(pre)
+    good_part = ranked(pre.where(~F.col(strata_col).isin(bad)))
+    exact_part = ranked(base.where(F.col(strata_col).isin(bad)))
+    return good_part.unionByName(exact_part)
