@@ -52,12 +52,34 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Surviving rows only (first id per distinct content)."""
-    groups = exact_dedup_groups(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_drops: bool = True,
+) -> DataFrame:
+    """Surviving rows only (first id per distinct content).
+
+    Exchange hygiene: the earlier form semi-joined the corpus against
+    the corpus-sized KEEP list — a full payload shuffle on id.  Here
+    only a thin (id, sha) frame crosses the dedup exchanges, and the
+    payload meets just the DROP list (non-representative copy ids) in
+    an anti-join — broadcast by default since drop lists are the dup
+    fraction; pass ``broadcast_drops=False`` on high-dup-rate raw
+    crawls (same regime rule as :func:`fuzzy_dedup_resolve`)."""
+    ids = df.select(
+        F.col(id_col).alias("_id"),
+        F.sha2(F.col(text_col), 256).alias("_sha"),
     )
-    return df.join(groups, id_col, "left_semi")
+    keep = ids.groupBy("_sha").agg(F.min("_id").alias("_keep"))
+    drops = (
+        ids.join(keep, "_sha")
+        .where(F.col("_id") != F.col("_keep"))
+        .select(F.col("_id").alias(id_col))
+    )
+    if broadcast_drops:
+        drops = F.broadcast(drops)
+    return df.join(drops, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
