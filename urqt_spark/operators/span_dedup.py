@@ -26,6 +26,13 @@ Execution shape (the 100-TB contract — document text NEVER shuffles):
 4. rebuild row-locally on the original table: re-split, drop the
    listed positions with a higher-order ``filter``, rejoin.
 
+Regime note: "text never shuffles" holds when the drop-list frame
+broadcasts (affected documents a small corpus fraction — AQE converts
+automatically).  On boilerplate-heavy corpora where most documents
+lose a span, the rebuild join pays ONE payload shuffle on doc_id —
+the span text itself still never rides an exchange, and there is
+never a payload sort through the span window.
+
 The 128-bit hash key stands in for span equality (collision odds at
 10^12 spans ≈ 2⁻⁶⁵·N² — negligible; the DuckDB oracle keys on the raw
 span text, identical semantics at gate scale).
