@@ -14,22 +14,26 @@ pipeline runs them:
    (functions/corpus_filters.py), ALL evaluated in one pass: scan →
    codegen projections + ONE Arrow crossing → filter.  Row-local, no
    shuffle.
-2. **decontaminate** — drop documents whose distinct 5-gram shingles
+2. **langid gate** (``--langid-gate CONF``) — drop documents whose
+   hashed-trigram language prediction CONFIDENTLY disagrees with the
+   recorded ``lang`` (mislabeled-metadata screen; low-confidence
+   predictions pass through).
+3. **decontaminate** — drop documents whose distinct 5-gram shingles
    overlap the ``--eval`` corpus above ``--contamination`` (operators/
    decontaminate.py; eval shingles broadcast, corpus text never
    shuffles).  Skipped unless ``--eval`` is given.
-3. **dedup**    — the resolve pipeline: exact-dup collapse → MinHash+
+4. **dedup**    — the resolve pipeline: exact-dup collapse → MinHash+
    LSH near-dup pairs over representatives (skew-defused) → star-
    contraction components → broadcast anti-join of the drop list
    (operators/dedup.py).
-4. **span dedup** (``--span-dedup``) — C4's cross-document span rule
+5. **span dedup** (``--span-dedup``) — C4's cross-document span rule
    (operators/span_dedup.py): duplicated sentences deleted from all
    but their first occurrence, documents rebuilt; text never
    shuffles.
-5. **LM filter** (``--ppl-head-buckets N``) — CCNet's rule: score the
+6. **LM filter** (``--ppl-head-buckets N``) — CCNet's rule: score the
    survivors with the char-LM perplexity UDF and keep each stratum's
    lowest-perplexity 1/N (operators/bucketing.py ``keep_head``).
-6. **sample**   — deterministic content-hash draw: ``--temperature``
+7. **sample**   — deterministic content-hash draw: ``--temperature``
    [+ ``--budget``] (n^(1/T) mixture rates derived from the live
    per-stratum counts, applied row-locally), ``--sample-rate``
    (row-local threshold draw) or ``--quota`` per ``--strata-col``
@@ -79,6 +83,10 @@ def parse_args(argv=None):
                    help="max allowed shingle-containment vs --eval")
     p.add_argument("--ngram", type=int, default=5)
     p.add_argument("--dedup-threshold", type=float, default=0.8)
+    p.add_argument("--langid-gate", type=float, default=None, metavar="CONF",
+                   help="drop documents whose predicted language "
+                        "disagrees with the recorded one at confidence "
+                        ">= CONF (mislabeled-metadata screen)")
     p.add_argument("--ppl-head-buckets", type=int, default=None,
                    help="CCNet LM filter: keep the lowest-perplexity "
                         "1/N of each stratum (after dedup)")
@@ -208,6 +216,22 @@ def run(spark, args) -> dict:
         )
         cur = materialize(
             toxicity_screen(cur, words, text_col=args.text_col), "toxicity"
+        )
+
+    if args.langid_gate is not None:
+        from pyspark.sql import functions as F
+
+        from urqt_spark.functions.langid import with_langid
+
+        scored = with_langid(cur, text_col=args.text_col)
+        # keep unless the model CONFIDENTLY disagrees with the recorded
+        # lang — unknown/low-confidence predictions pass through (the
+        # screen targets mislabeled metadata, not model blind spots)
+        keep = (F.col("lang_pred") == F.col(args.strata_col)) | (
+            F.col("lang_conf") < args.langid_gate
+        )
+        cur = materialize(
+            scored.where(keep).drop("lang_pred", "lang_conf"), "langid_gate"
         )
 
     if args.eval_path:

@@ -148,6 +148,29 @@ def test_curate_ppl_head_filter(spark, tmp_path, capsys):
     assert "ppl" not in got.columns and "bucket" not in got.columns
 
 
+def test_curate_langid_gate(spark, tmp_path, capsys):
+    """The gate drops only CONFIDENT disagreements: real corpus rows
+    (marker-bearing text, correct labels) pass; a doc whose text is
+    another language's but labeled wrong is screened."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    docs = docs[["doc_id", "lang", "text"]].head(120).copy()
+    inp = str(tmp_path / "docs.parquet")
+    docs.to_parquet(inp, index=False)
+    out = str(tmp_path / "curated")
+    rc = main(
+        ["--input", inp, "--output", out, "--skip-quality", "--skip-dedup",
+         "--langid-gate", "0.9"],
+        spark=spark,
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < stats["after_langid_gate"] <= stats["input_rows"]
+    got = pd.read_parquet(out)
+    assert set(got.columns) == {"doc_id", "lang", "text"}  # scores dropped
+
+
 def test_curate_checkpoint_resume(spark, tmp_path, capsys):
     import pytest
 
