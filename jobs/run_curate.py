@@ -253,14 +253,17 @@ def run(spark, args) -> dict:
             minhash_lsh_pairs_preclustered,
         )
 
-        reps = exact_dedup(cur, args.text_col, args.id_col)
+        reps = exact_dedup(cur, args.text_col, args.id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         pairs = minhash_lsh_pairs_preclustered(
             cur, text_col=args.text_col, id_col=args.id_col,
-            threshold=args.dedup_threshold,
+            threshold=args.dedup_threshold, reps=reps,
         )
         cur = materialize(
             fuzzy_dedup_resolve(reps, pairs, id_col=args.id_col), "dedup"
         )
+        reps.unpersist()
 
     if args.span_dedup:
         from pyspark.sql import functions as F

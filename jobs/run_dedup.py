@@ -97,9 +97,16 @@ def run(spark, args) -> dict:
             n_bits=128,
         )
     elif args.method == "resolve":
-        reps = exact_dedup(df, args.text_col, args.id_col)
+        from pyspark.storagelevel import StorageLevel
+
+        # persist: reps feeds BOTH the signature pass and the final
+        # anti-join — unpersisted, the exact-dup sha groupBy runs twice
+        reps = exact_dedup(df, args.text_col, args.id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         pairs = minhash_lsh_pairs_preclustered(
-            df, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
+            df, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold, reps=reps,
         )
         out = fuzzy_dedup_resolve(reps, pairs, id_col=args.id_col)
     elif args.method == "clones":

@@ -377,6 +377,7 @@ def minhash_lsh_pairs_preclustered(
     bands: int = 32,
     threshold: float = 0.5,
     seed: int = 42,
+    reps: DataFrame | None = None,
 ) -> DataFrame:
     """Skew-proof near-dup pairs: EXACT duplicates are collapsed to one
     representative (min id per distinct content) BEFORE LSH banding.
@@ -392,8 +393,13 @@ def minhash_lsh_pairs_preclustered(
 
     Output contract: near-dup pairs between representatives only —
     the same (id_a, id_b, jaccard) columns as :func:`minhash_lsh_pairs`.
+
+    ``reps``: pass an already-computed :func:`exact_dedup` frame to
+    skip recomputing the collapse — resolve pipelines need the reps
+    anyway, and without this the corpus pays the sha groupBy twice.
     """
-    reps = exact_dedup(df, text_col=text_col, id_col=id_col)
+    if reps is None:
+        reps = exact_dedup(df, text_col=text_col, id_col=id_col)
     return minhash_lsh_pairs(
         reps,
         text_col=text_col,
