@@ -315,6 +315,22 @@ def q_streaming_quality(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing (operators/packing.py): docs
+    sharded by content hash, packed to a 512-whitespace-token budget by
+    contiguous fill in hash order — pure BIGINT arithmetic end to end,
+    so the oracle reproduces pack assignments exactly."""
+    from urqt_spark.operators.packing import pack_sequences
+
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(base, budget=512, n_shards=4, seed=2).select(
+        "doc_id", "n_tokens", "shard", "pack_id", "pack_pos"
+    )
+
+
 def q_score_buckets(spark, sf_dir):
     """CCNet-style per-language head/middle/tail bucketing
     (operators/bucketing.py): documents ranked within their language
@@ -1384,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_buckets": q_score_buckets,
         "streaming_quality": q_streaming_quality,
         "clone_dedup": q_clone_dedup,
+        "pack_sequences": q_pack_sequences,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_stats": q_bpe_token_stats,
         "top_ngrams": q_top_ngrams,
@@ -1573,6 +1590,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN c ON c.doc_id = CAST(a.doc_id AS BIGINT)
             JOIN r ON r.doc_id = CAST(a.doc_id AS BIGINT)
             WHERE g.gopher_pass AND c.c4_pass AND r.repetition_pass""",
+        "pack_sequences": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     substr(sha256(CAST(doc_id AS VARCHAR) || ':2'), 1, 12) AS ph
+              FROM documents),
+            sharded AS (
+              SELECT *,
+                     CAST(('0x' || substr(ph, 1, 8))::UBIGINT % 4 AS BIGINT) AS shard
+              FROM base),
+            packed AS (
+              SELECT doc_id, n_tokens, shard, ph,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY ph, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS prev
+              FROM sharded)
+            SELECT doc_id, n_tokens, shard,
+                   CAST(shard * 4294967296 + prev // 512 AS BIGINT) AS pack_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard, prev // 512 ORDER BY ph, doc_id
+                   ) AS BIGINT) AS pack_pos
+            FROM packed""",
         "score_buckets": f"""
             WITH s AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

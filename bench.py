@@ -269,6 +269,7 @@ def main() -> None:
         ("toxicity_screen", 1),
         ("score_buckets", 1),
         ("clone_dedup", 1),
+        ("pack_sequences", 1),
         ("repetition_signals", 1),
         ("hash_sample", 1),
         ("stratified_sample", 1),

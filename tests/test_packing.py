@@ -1,0 +1,72 @@
+"""Deterministic sequence packing — contiguous-fill semantics, shard
+isolation, budget bounds, layout independence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from urqt_spark.operators.packing import pack_sequences
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_single_shard_contiguous_fill(spark):
+    # one shard -> one ordered stream; budget 10 with uniform 4-token
+    # docs packs ~2-3 docs per pack, positions contiguous from 1
+    df = _df(spark, [(i, 4) for i in range(20)])
+    out = pack_sequences(df, budget=10, n_shards=1, seed=1).collect()
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for rows in packs.values():
+        assert sorted(x["pack_pos"] for x in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    # contiguous fill at budget 10 / 4-token docs: start offsets mod 10
+    # land 2-3 docs per pack
+    sizes = {len(rows) for rows in packs.values()}
+    assert sizes <= {2, 3}
+    assert sum(len(rows) for rows in packs.values()) == 20
+
+
+def test_budget_deviation_bounded_by_one_doc(spark):
+    df = _df(spark, [(i, 3 + (i % 5)) for i in range(200)])
+    out = pack_sequences(df, budget=20, n_shards=2, seed=3)
+    totals = {
+        r["pack_id"]: (r["total"], r["mx"])
+        for r in out.groupBy("pack_id")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.max("n_tokens").alias("mx"),
+        )
+        .collect()
+    }
+    # every pack except possibly each shard's LAST stays within
+    # budget + its largest doc
+    over = [t for t, mx in totals.values() if t > 20 + mx]
+    assert not over
+
+
+def test_shards_partition_and_packs_never_mix_shards(spark):
+    df = _df(spark, [(i, 5) for i in range(100)])
+    out = pack_sequences(df, budget=25, n_shards=4, seed=0).collect()
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], set()).add(r["shard"])
+        assert r["pack_id"] // (1 << 32) == r["shard"]
+    assert all(len(s) == 1 for s in by_pack.values())
+    assert len({r["shard"] for r in out}) == 4
+
+
+def test_layout_independent(spark):
+    df = _df(spark, [(i, 2 + i % 7) for i in range(300)])
+    a = {(r["doc_id"], r["pack_id"], r["pack_pos"])
+         for r in pack_sequences(df, budget=30, n_shards=3, seed=5).collect()}
+    b = {(r["doc_id"], r["pack_id"], r["pack_pos"])
+         for r in pack_sequences(
+             df.repartition(11), budget=30, n_shards=3, seed=5
+         ).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)

@@ -1,0 +1,75 @@
+"""Deterministic sequence packing — grouping documents into fixed
+token-budget packs (the training-example assembly step every LLM data
+pipeline runs between curation and tokenization; public method: GPT-3
+style "pack documents into 2048-token sequences").
+
+Packing is inherently sequential (a running token total decides pack
+boundaries), which a naive global version turns into a one-reducer
+sort.  The distributed form used in practice packs independent SHARDS
+in parallel: each document is assigned a shard by content hash, and
+packing runs per shard — deterministic under any partitioning, packs
+never mix shards, and parallelism = n_shards.  On a real cluster pick
+n_shards ≈ a few × executor count.
+
+Contiguous-fill rule: within a shard, documents ordered by
+(content-hash, id) form a virtual token stream; a document joins pack
+``floor(start_offset / budget)``.  Packs are consecutive documents
+totalling ~budget tokens, deviating from the budget by at most one
+document's length (the standard streaming-packing trade; oversized
+single documents dominate their pack — split or drop them upstream
+via the Gopher MAX_WORDS screen).
+
+Everything is INTEGER arithmetic over BIGINTs — prefix sums of token
+counts, floor division by the budget, hex-prefix hash shards — so the
+DuckDB oracle reproduces pack assignments exactly, no float risk.
+
+Plan: ONE exchange on the shard key → in-shard sort by (hash, id) →
+running sum window → projections.  Only (id, tokens, hash) columns
+need to travel; join the payload back by id at write time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from urqt_spark.operators.sampling import sample_hash_col
+
+#: local pack index is packed into the id's low bits; 2^32 packs per
+#: shard ≈ 10^9 — beyond any real shard
+_PACK_STRIDE = 1 << 32
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Adds ``shard``, ``pack_id`` (globally unique:
+    shard·2³² + in-shard pack index) and ``pack_pos`` (1-based position
+    within the pack)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = sample_hash_col(F.col(id_col), seed)
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    base = df.select("*", h.alias("_ph"), shard)
+    w = Window.partitionBy("shard").orderBy(F.col("_ph"), F.col(id_col))
+    prev = F.coalesce(
+        F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    local_pack = F.floor(prev / F.lit(budget)).cast("long")
+    out = base.withColumn(
+        "pack_id", (F.col("shard") * F.lit(_PACK_STRIDE) + local_pack).cast("long")
+    )
+    wp = Window.partitionBy("pack_id").orderBy(F.col("_ph"), F.col(id_col))
+    return out.withColumn(
+        "pack_pos", F.row_number().over(wp).cast("long")
+    ).drop("_ph")
