@@ -309,31 +309,75 @@ def main() -> None:
     files_per_sec = (
         round(n_rows / best, 1) if best else 0.0
     )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+
+    # the most recent two-parallelism scaling measurement
+    # (scripts/bench_scaling.py — the BASELINE.json ≥0.8 efficiency
+    # protocol).  Full ladder goes to the detail file; the headline
+    # carries only the 4-number summary the gate reads.
+    scaling = None
+    scaling_path = os.path.join(repo_dir, "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            scaling = json.load(fh)
+
+    # COMPACT headline (round-4 failure: the line outgrew the driver's
+    # stdout capture window → BENCH_r04 "parsed": null.  The per-query
+    # samples, flagship ramp, errors, and scaling ladder move to
+    # BENCH/detail_r{N}.json; the final stdout line stays < ~2 KB).
+    headline_queries = {
+        k: round(v, 2)
+        for k, v in timings.items()
+        if k != "warmup" and not k.startswith("quality_filter_full_r")
+    }
     out = {
         "metric": "quality_filter pipeline + operator suite wall time",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": headline_queries,
         "sf": sf,
         "corpus_rows": n_rows,
         "files_per_sec": files_per_sec,
         "cpus": cpus_req,
         "cpus_used": cpus,
-        "full_samples": samples,
+        "n_errors": len(errors),
     }
-    if query_samples:
-        out["query_samples"] = query_samples
-    if errors:
-        out["errors"] = errors
-    # attach the most recent two-parallelism scaling measurement
-    # (scripts/bench_scaling.py — the BASELINE.json ≥0.8 efficiency
-    # protocol) so the driver's BENCH_r{N}.json carries the evidence
-    scaling_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
-    )
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as fh:
-            out["scaling"] = json.load(fh)
+    if scaling:
+        lv = sorted(
+            (
+                v
+                for v in scaling.values()
+                if isinstance(v, dict) and "files_per_sec" in v
+            ),
+            key=lambda v: v.get("cpus", 0),
+        )
+        out["scaling"] = {
+            "efficiency": scaling.get("scaling_efficiency"),
+            "speedup": scaling.get("speedup"),
+            "pass": scaling.get("pass"),
+            # lo/hi = the N and 4N parallelism levels of the
+            # BASELINE.json protocol: [cpus, sec, files_per_sec]
+            "lo": [lv[0]["cpus"], lv[0]["sec"], lv[0]["files_per_sec"]] if lv else None,
+            "hi": [lv[-1]["cpus"], lv[-1]["sec"], lv[-1]["files_per_sec"]] if lv else None,
+        }
+
+    detail = {
+        "queries": timings,
+        "full_samples": samples,
+        "query_samples": query_samples,
+        "errors": errors,
+        "scaling": scaling,
+        "headline": out,
+    }
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "latest")
+    detail_path = os.path.join(repo_dir, "BENCH", f"detail_r{rnd}.json")
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        print(f"[bench] detail -> {detail_path}", file=sys.stderr, flush=True)
+    except OSError as exc:
+        print(f"[bench] detail write failed: {exc}", file=sys.stderr, flush=True)
     print(json.dumps(out))
     spark.stop()
 

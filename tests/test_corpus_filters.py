@@ -55,6 +55,37 @@ def test_repetition_signals_basic(spark):
     assert out[2]["repetition_pass"]
 
 
+def test_repetition_signals_empty_doc_matches_oracle(spark):
+    # UDF emits a zeroed row for empty/null docs (nw == 0 branch);
+    # the DuckDB oracle must emit the SAME row, not drop the doc —
+    # a dropped doc silently vanishes from funnel oracle inner joins
+    import duckdb
+    import pandas as pd
+
+    from urqt_spark.functions.corpus_filters import repetition_oracle_sql
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["spam spam spam", "", None]}
+    )
+    df = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    spark_out = (
+        repetition_signals(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle_out = (
+        con.execute(repetition_oracle_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(spark_out) == 3 and len(oracle_out) == 3
+    pd.testing.assert_frame_equal(
+        spark_out[sorted(spark_out.columns)], oracle_out[sorted(oracle_out.columns)]
+    )
+    assert bool(spark_out.loc[1, "repetition_pass"])  # empty doc passes
+
+
 def test_repetition_signals_is_shuffle_free(spark):
     df = _docs(spark, [(1, "a b c")])
     plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()

@@ -460,7 +460,12 @@ def test_ivf_training_sample_sparse_id_fallback():
         got_ids, X, P = ivf_training_sample(p, sample_target=50)
         # P=400//50=8; all ids odd → modulus sweep empty → fallback
         assert P == 1 and len(got_ids) > 0 and X.shape[1] == 4
-        assert len(got_ids) <= 400
+        # row-position STRIDING, not a prefix scan (ADVICE r4): the
+        # draw must span the whole table — stride ceil(400/50)=8
+        # keeps positions 0,8,...,392, so the max sampled id sits in
+        # the table's last stride, far past any 2*target prefix
+        assert len(got_ids) == 50
+        assert got_ids.max() >= pdf["vec_id"].iloc[392]
         # empty table raises a clear error, not a numpy traceback
         p2 = f"{d}/empty.parquet"
         pdf.iloc[0:0].to_parquet(p2, index=False)

@@ -305,13 +305,21 @@ def repetition_oracle_sql(relation: str = "documents") -> str:
     :func:`repetition_signals` — the oracle pays the quadratic join the
     UDF avoids; gate-scale only."""
     return f"""
-    WITH words AS (
-      SELECT doc_id, length(text) AS nchars,
-             string_split(text, ' ') AS ws
+    WITH base AS (
+      -- UNFILTERED: the UDF emits a zeros row for empty/null docs
+      -- (nw == 0 branch); filtering here would drop those rows and
+      -- break every downstream inner join on a corpus with empties
+      SELECT doc_id, COALESCE(length(text), 0) AS nchars,
+             CASE WHEN COALESCE(length(text), 0) > 0
+                  THEN len(string_split(text, ' ')) ELSE 0 END AS nw
+      FROM {relation}
+    ),
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
       FROM {relation} WHERE length(text) > 0
     ),
     w AS (
-      SELECT doc_id, nchars, len(ws) AS nw, unnest(ws) AS word,
+      SELECT doc_id, unnest(ws) AS word,
              unnest(range(len(ws))) AS i
       FROM words
     ),
@@ -348,18 +356,33 @@ def repetition_oracle_sql(relation: str = "documents") -> str:
              COALESCE(SUM(CASE WHEN c >= 2 THEN c * chars END), 0) AS dup3
       FROM g3c GROUP BY doc_id
     ),
-    base AS (SELECT DISTINCT doc_id, nchars, nw FROM w)
-    SELECT CAST(base.doc_id AS BIGINT) AS doc_id,
-           CAST(wc.top_word_count AS BIGINT) AS top_word_count,
-           CAST(wc.top_word_count AS DOUBLE) / base.nw AS top_word_frac,
-           CAST(COALESCE(g2s.top2, 0) AS BIGINT) AS top_2gram_count,
-           CAST(COALESCE(g3s.top3, 0) AS BIGINT) AS top_3gram_count,
-           CAST(COALESCE(g2s.dup2, 0) AS DOUBLE) / base.nchars AS dup_2gram_char_frac,
-           CAST(COALESCE(g3s.dup3, 0) AS DOUBLE) / base.nchars AS dup_3gram_char_frac,
-           (CAST(wc.top_word_count AS DOUBLE) / base.nw <= {MAX_TOP_WORD_FRAC}
-            AND CAST(COALESCE(g2s.dup2, 0) AS DOUBLE) / base.nchars <= {MAX_DUP_NGRAM_CHAR_FRAC}
-            AND CAST(COALESCE(g3s.dup3, 0) AS DOUBLE) / base.nchars <= {MAX_DUP_NGRAM_CHAR_FRAC}) AS repetition_pass
-    FROM base
-    JOIN wc USING (doc_id)
-    LEFT JOIN g2s USING (doc_id)
-    LEFT JOIN g3s USING (doc_id)"""
+    sig AS (
+      SELECT base.doc_id,
+             COALESCE(wc.top_word_count, 0) AS top_word_count,
+             CASE WHEN base.nw > 0
+                  THEN CAST(COALESCE(wc.top_word_count, 0) AS DOUBLE) / base.nw
+                  ELSE 0.0 END AS top_word_frac,
+             COALESCE(g2s.top2, 0) AS top_2gram_count,
+             COALESCE(g3s.top3, 0) AS top_3gram_count,
+             CASE WHEN base.nchars > 0
+                  THEN CAST(COALESCE(g2s.dup2, 0) AS DOUBLE) / base.nchars
+                  ELSE 0.0 END AS dup_2gram_char_frac,
+             CASE WHEN base.nchars > 0
+                  THEN CAST(COALESCE(g3s.dup3, 0) AS DOUBLE) / base.nchars
+                  ELSE 0.0 END AS dup_3gram_char_frac
+      FROM base
+      LEFT JOIN wc USING (doc_id)
+      LEFT JOIN g2s USING (doc_id)
+      LEFT JOIN g3s USING (doc_id)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(top_word_count AS BIGINT) AS top_word_count,
+           top_word_frac,
+           CAST(top_2gram_count AS BIGINT) AS top_2gram_count,
+           CAST(top_3gram_count AS BIGINT) AS top_3gram_count,
+           dup_2gram_char_frac,
+           dup_3gram_char_frac,
+           (top_word_frac <= {MAX_TOP_WORD_FRAC}
+            AND dup_2gram_char_frac <= {MAX_DUP_NGRAM_CHAR_FRAC}
+            AND dup_3gram_char_frac <= {MAX_DUP_NGRAM_CHAR_FRAC}) AS repetition_pass
+    FROM sig"""

@@ -133,7 +133,9 @@ def filter_batch(contents: pd.Series, cfg: FilterConfig, lut: np.ndarray) -> pd.
     # Python strings).  Formula-for-formula the JVM with_heuristics.
     kept_chars = np.where(nonempty, ghi - glo, 0).astype(np.int64)
     kept_lines = np.where(nonempty, ce - cb + 1, 1).astype(np.int64)
-    ac = np.concatenate(([0], np.cumsum(_ALNUM_TABLE[v.cp], dtype=np.int32)))
+    # int64: a batch whose concatenated content exceeds 2^31 chars
+    # (512 rows x >4 MB docs) would silently wrap an int32 prefix sum
+    ac = np.concatenate(([0], np.cumsum(_ALNUM_TABLE[v.cp], dtype=np.int64)))
     alnum = np.where(nonempty, ac[ghi] - ac[glo], 0)
     mean_line_len = kept_chars / kept_lines
     alnum_ratio = np.where(kept_chars > 0, alnum / np.maximum(kept_chars, 1), 0.0)

@@ -6,13 +6,15 @@ style "pack documents into 2048-token sequences").
 Packing is inherently sequential (a running token total decides pack
 boundaries), which a naive global version turns into a one-reducer
 sort.  The distributed form used in practice packs independent SHARDS
-in parallel: each document is assigned a shard by content hash, and
+in parallel: each document is assigned a shard by a deterministic
+hash of its id (stable under any partitioning; NOT stable under id
+reassignment — see the sampling module's reproducibility contract), and
 packing runs per shard — deterministic under any partitioning, packs
 never mix shards, and parallelism = n_shards.  On a real cluster pick
 n_shards ≈ a few × executor count.
 
 Contiguous-fill rule: within a shard, documents ordered by
-(content-hash, id) form a virtual token stream; a document joins pack
+(id-hash, id) form a virtual token stream; a document joins pack
 ``floor(start_offset / budget)``.  Packs are consecutive documents
 totalling ~budget tokens, deviating from the budget by at most one
 document's length (the standard streaming-packing trade; oversized

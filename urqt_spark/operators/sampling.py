@@ -4,8 +4,16 @@ A web-scale curation pipeline needs REPRODUCIBLE subsetting — the same
 (seed, rate) must select the same documents on every run, on any
 cluster layout, under any partitioning.  Spark's ``df.sample`` is
 partition-order dependent (rerunning after a repartition changes the
-kept set), so both operators here derive the decision purely from row
-CONTENT:
+kept set), so both operators here derive the decision purely from a
+DETERMINISTIC KEY HASH (default key: ``doc_id``):
+
+Reproducibility contract: the kept set is stable under any
+partitioning, cluster layout, or execution order — but it is keyed by
+the ``key_col`` VALUE, so a re-ingestion that reassigns ids changes
+the draw, and identical-content documents under different ids sample
+independently.  For true content keying pass ``key_col="text"``
+(costs hashing the full payload; the thin id hash is the 100-TB
+default because the id column is bytes where the text is kilobytes).
 
 * :func:`hash_threshold_sample` — keep a document iff the first 12 hex
   chars of ``sha256(key || ':' || seed)`` are lexicographically below
@@ -17,7 +25,7 @@ CONTENT:
   plain string compare both engines evaluate identically.
 
 * :func:`stratified_quota_sample` — per-stratum (e.g. per-language)
-  top-``quota`` documents in content-hash order, i.e. a deterministic
+  top-``quota`` documents in key-hash order, i.e. a deterministic
   uniform draw WITHOUT replacement of fixed size per stratum — the
   "balanced subcorpus" primitive (cap English, keep all of a low-
   resource language).  Cost: ONE hash exchange on the stratum key +

@@ -309,9 +309,11 @@ def ivf_training_sample(
     Assumes a reasonably DENSE id space: sampling is by id VALUE
     (``id % P == 0``), so a sparse or offset id column can underfill
     the sample.  If the modulus sweep selects nothing, the sampler
-    falls back to P=1 (take every row it streams, still bounded by
-    ``2 * sample_target``) and raises a clear error only if the table
-    itself is empty.
+    falls back to ROW-POSITION striding (every
+    ceil(n_rows/sample_target)-th row across all files, reported as
+    P=1) so the draw spans the whole table even when sorted or
+    clustered, and raises a clear error only if the table itself is
+    empty.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -334,20 +336,29 @@ def ivf_training_sample(
                 )
     if not ids_parts and P > 1:
         # sparse/offset id space defeated the value-modulus sample:
-        # fall back to row-position sampling (every row up to a bound)
-        cap = 2 * sample_target
+        # fall back to ROW-POSITION striding — keep every
+        # ceil(n_rows/sample_target)-th row across ALL files, so the
+        # training draw spans the whole table instead of a prefix
+        # (a sorted/clustered table's prefix yields unrepresentative
+        # centroids).  Still streamed batch-at-a-time, still bounded.
+        stride = max(1, -(-n_rows // sample_target))  # ceil
+        pos = 0
         for pf in pfs:
             for batch in pf.iter_batches(columns=[id_col, vec_col]):
                 i_id = batch.schema.get_field_index(id_col)
                 i_vec = batch.schema.get_field_index(vec_col)
-                ids_parts.append(
-                    batch.column(i_id).to_numpy(zero_copy_only=False).astype(np.int64)
-                )
-                vec_parts.extend(batch.column(i_vec).to_pylist())
-                if sum(len(p) for p in ids_parts) >= cap:
-                    break
-            if sum(len(p) for p in ids_parts) >= cap:
-                break
+                n_b = batch.num_rows
+                sel = np.nonzero((pos + np.arange(n_b)) % stride == 0)[0]
+                pos += n_b
+                if len(sel):
+                    ids_parts.append(
+                        batch.column(i_id)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[sel]
+                    )
+                    vec_parts.extend(
+                        batch.column(i_vec).take(pa.array(sel)).to_pylist()
+                    )
         P = 1
     if not ids_parts:
         raise ValueError(
