@@ -247,6 +247,8 @@ def main() -> None:
         ("minhash_lsh_pairs", 2),  # heavy queries: min-of-2 (host noise)
         ("minhash_lsh_dedup", 1),
         ("incremental_minhash_dedup", 1),
+        ("incremental_simhash_dedup", 1),
+        ("incremental_clone_pairs", 1),
         ("neardup_components", 1),
         ("fuzzy_dedup_resolve", 1),
         ("simhash_neardup", 2),
