@@ -38,6 +38,10 @@ pipeline runs them:
    per-stratum counts, applied row-locally), ``--sample-rate``
    (row-local threshold draw) or ``--quota`` per ``--strata-col``
    (one exchange).  Reproducible under any partitioning.
+8. **pack** (``--pack-budget N``) — sequence packing over the final
+   survivors (operators/packing.py): BPE-ish token counts computed in
+   the same pass, docs sharded by id hash and contiguously filled into
+   fixed token-budget packs (adds shard/pack_id/pack_pos).
 
 Stage order matters at scale: quality+decontamination are cheap
 row-local/broadcast screens that shrink the corpus BEFORE the dedup
@@ -102,6 +106,11 @@ def parse_args(argv=None):
     p.add_argument("--budget", type=int, default=None,
                    help="target total rows for --temperature resampling")
     p.add_argument("--strata-col", default="lang")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="pack surviving docs into fixed token-budget "
+                        "sequences (BPE-ish token counts computed in "
+                        "the same pass; adds shard/pack_id/pack_pos)")
+    p.add_argument("--pack-shards", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--partition-by", default=None)
     p.add_argument("--checkpoint-dir", default=None,
@@ -163,6 +172,16 @@ def _check_resume_config(args) -> None:
 
 
 def run(spark, args) -> dict:
+    from urqt_spark.cache import cache_drained
+
+    # structural cache release (VERDICT r4 next #6): the funnel and
+    # its operators persist intermediates; drain on exit even when a
+    # stage raises, so a long-lived session never accumulates blocks
+    with cache_drained(spark):
+        return _run(spark, args)
+
+
+def _run(spark, args) -> dict:
     import os
 
     from pyspark.storagelevel import StorageLevel
@@ -253,17 +272,19 @@ def run(spark, args) -> dict:
             minhash_lsh_pairs_preclustered,
         )
 
+        from urqt_spark.cache import released
+
         reps = exact_dedup(cur, args.text_col, args.id_col).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        pairs = minhash_lsh_pairs_preclustered(
-            cur, text_col=args.text_col, id_col=args.id_col,
-            threshold=args.dedup_threshold, reps=reps,
-        )
-        cur = materialize(
-            fuzzy_dedup_resolve(reps, pairs, id_col=args.id_col), "dedup"
-        )
-        reps.unpersist()
+        with released(reps):
+            pairs = minhash_lsh_pairs_preclustered(
+                cur, text_col=args.text_col, id_col=args.id_col,
+                threshold=args.dedup_threshold, reps=reps,
+            )
+            cur = materialize(
+                fuzzy_dedup_resolve(reps, pairs, id_col=args.id_col), "dedup"
+            )
 
     if args.span_dedup:
         from pyspark.sql import functions as F
@@ -322,11 +343,23 @@ def run(spark, args) -> dict:
             key_col=args.id_col, seed=args.seed,
         ).drop("sample_rank")
 
+    if args.pack_budget:
+        from urqt_spark.operators.packing import pack_sequences
+
+        # training-example assembly: the LAST stage, over the final
+        # sampled survivors (pack ids must reflect the shipped corpus).
+        # Token counts are derived in the same pass (text_col mode) —
+        # no precomputed column needed.
+        cur = pack_sequences(
+            cur, budget=args.pack_budget, id_col=args.id_col,
+            n_shards=args.pack_shards, seed=args.seed,
+            text_col=args.text_col,
+        )
+
     writer = cur.write.mode("overwrite")
     if args.partition_by:
         writer = writer.partitionBy(args.partition_by)
     writer.parquet(args.output)
-    spark.catalog.clearCache()
     stats["output_rows"] = spark.read.parquet(args.output).count()
     return stats
 

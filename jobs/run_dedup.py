@@ -70,6 +70,16 @@ def parse_args(argv=None):
 
 
 def run(spark, args) -> dict:
+    from urqt_spark.cache import cache_drained
+
+    # several methods persist internal signature frames (callers-own-
+    # release contract); drain them structurally when this job unit
+    # finishes so a long-lived session never accumulates cached blocks
+    with cache_drained(spark):
+        return _run(spark, args)
+
+
+def _run(spark, args) -> dict:
     from urqt_spark.operators.dedup import (
         exact_dedup,
         exact_dedup_groups,

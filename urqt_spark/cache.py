@@ -1,0 +1,104 @@
+"""Cache-lifecycle helpers — make persist release STRUCTURAL.
+
+Several operators persist narrow intermediates across self-joins
+(MinHash/SimHash/winnow signature frames, LSH bucket frames: a pandas
+UDF re-executes on BOTH sides of a self-join unless its output is
+materialized once).  The frames are internal, so callers hold no
+handle to unpersist — the documented contract is "callers own
+release".  A docstring convention leaks in any long-lived session
+that forgets it (bench.py and run_curate.py remembered; run_dedup.py
+did not — ADVICE r4 #5).  These context managers make release happen
+by construction:
+
+* :func:`released` — for frames the caller DOES hold: unpersist on
+  exit, success or error.
+* :func:`cache_drained` — for terminal actions over plans whose
+  operators persisted internals: ``spark.catalog.clearCache()`` on
+  exit.  Session-wide, so only wrap job-level units of work (a CLI
+  run, one bench pass), never a library call another plan may be
+  sharing cache with.
+* :func:`n_cached_rdds` — observability hook for tests asserting the
+  zero-cached-blocks postcondition.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def released(*frames):
+    """Unpersist the given DataFrames on exit (success or error).
+
+    Usage::
+
+        with released(reps):
+            ...actions over plans built on reps...
+    """
+    try:
+        yield frames[0] if len(frames) == 1 else frames
+    finally:
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:  # noqa: BLE001 — release must never mask the body's error
+                pass
+
+
+@contextmanager
+def cache_drained(spark):
+    """Clear the session cache on exit — wraps a job-level unit of
+    work whose operators persist internal frames the caller holds no
+    handle to.  Drains BOTH stores: the SQL cache
+    (``catalog.clearCache``) and persistent RDDs — ``localCheckpoint``
+    frames (the connected-components rounds) live outside the SQL
+    CacheManager, so ``clearCache`` alone leaks them.  Session-wide:
+    only wrap job-level units of work, never a library call another
+    live plan may share cache with."""
+    try:
+        yield spark
+    finally:
+        try:
+            spark.catalog.clearCache()
+            drain_persistent_rdds(spark)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def tracked_local_checkpoint(df):
+    """``df.localCheckpoint()`` + the ids of the persistent RDDs the
+    checkpoint created, so iterative algorithms can release superseded
+    rounds with :func:`release_rdds` instead of leaking every round's
+    labels until session end.  (Snapshot-diff based: assumes no other
+    thread checkpoints concurrently — true for the driver-side loops
+    that use it.)"""
+    sc = df.sparkSession.sparkContext
+    before = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint()  # eager: materializes before returning
+    after = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    return out, after - before
+
+
+def release_rdds(spark, ids) -> None:
+    """Unpersist the persistent RDDs with the given ids (no-op for ids
+    already gone)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist()
+
+
+def drain_persistent_rdds(spark) -> None:
+    """Unpersist every persistent RDD — the localCheckpoint
+    counterpart of ``catalog.clearCache()``."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in list(jmap.keySet().toArray()):
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist()
+
+
+def n_cached_rdds(spark) -> int:
+    """Number of RDDs currently occupying block-store storage."""
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())

@@ -435,6 +435,9 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
     Raises after ``max_iter`` rounds instead of silently returning
     unconverged labels (no-silent-caps rule)."""
+    from urqt_spark.cache import release_rdds, tracked_local_checkpoint
+
+    spark = pairs.sparkSession
     e = pairs.select(
         F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
     )
@@ -442,17 +445,19 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # (the nbr join and the union), so without lineage truncation the
     # plan doubles per round and the driver OOMs rendering it.  On a
     # cluster with executor loss, substitute reliable checkpoint().
-    edges = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    labels = (
+    # Checkpoints are TRACKED: each round's labels RDD is unpersisted
+    # once superseded (checkpoint blocks live outside the SQL cache,
+    # so an untracked loop leaks every round until session end).
+    edges, edges_ids = tracked_local_checkpoint(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    labels, labels_ids = tracked_local_checkpoint(
         edges.groupBy("u")
         .agg(F.min("v").alias("min_nbr"))
         .select(
             F.col("u").alias("id"),
             F.least(F.col("u"), F.col("min_nbr")).alias("label"),
         )
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         # candidate label per node: min over (own label, neighbors' labels)
@@ -460,11 +465,10 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             edges.join(labels, edges.v == labels.id)
             .select(edges.u.alias("id"), F.col("label"))
         )
-        new_labels = (
+        new_labels, new_ids = tracked_local_checkpoint(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -472,8 +476,10 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        release_rdds(spark, labels_ids)  # superseded round
+        labels, labels_ids = new_labels, new_ids
         if changed == 0:
+            release_rdds(spark, edges_ids)
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(
         f"neardup_components did not converge in {max_iter} rounds — "
@@ -524,7 +530,10 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 60) -> DataFrame:
 
     Deterministic (min is order-independent).  Raises after
     ``max_iter`` rounds instead of returning unconverged labels."""
-    e = (
+    from urqt_spark.cache import release_rdds, tracked_local_checkpoint
+
+    spark = pairs.sparkSession
+    e, e_ids = tracked_local_checkpoint(
         pairs.select(
             F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias(
                 "u"
@@ -533,7 +542,6 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 60) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     sig = _edge_checksum(e)
     for _ in range(max_iter):
@@ -554,16 +562,16 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 60) -> DataFrame:
         # small-star on the directed (big→small) edges: re-point every
         # smaller neighbor (and u itself) at m = min of that set
         m2 = e1.groupBy("u").agg(F.min("v").alias("mn"))
-        e2 = (
+        e2, e2_ids = tracked_local_checkpoint(
             e1.join(m2, "u")
             .where(F.col("v") != F.col("mn"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .unionByName(m2.select("u", F.col("mn").alias("v")))
             .distinct()
-            .localCheckpoint()
         )
         new_sig = _edge_checksum(e2)
-        e = e2
+        release_rdds(spark, e_ids)  # superseded round
+        e, e_ids = e2, e2_ids
         if new_sig == sig:
             break
         sig = new_sig
