@@ -245,13 +245,13 @@ def main() -> None:
         ("trim_ep2", 1),
         ("exact_dedup", 1),
         ("minhash_lsh_pairs", 2),  # heavy queries: min-of-2 (host noise)
-        ("minhash_lsh_dedup", 1),
+        ("minhash_lsh_dedup", 2),
         ("incremental_minhash_dedup", 1),
         ("incremental_simhash_dedup", 1),
         ("incremental_clone_pairs", 1),
         ("neardup_components", 1),
         ("fuzzy_dedup_resolve", 1),
-        ("simhash_neardup", 2),
+        ("simhash_neardup", 3),  # slow ramp: steady state needs pass 3 (r4 regression was this ramp)
         ("simhash_neardup_dedup", 1),
         ("winnow_clone_pairs", 2),
         ("ann_topk", 1),
