@@ -725,6 +725,51 @@ def _derived_new_batch(d, mod: int, shift: int):
     )
 
 
+_EXACT_SHATAB_VERSION = 1
+
+
+def _exact_sha_table(spark, sf_dir: str) -> str:
+    """Persisted (sha, keep_id) exact-dedup index for the sf_dir
+    documents corpus — written ONCE per (corpus mtime, size, version),
+    read back by the incremental query."""
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    key = f"{tag}_v{_EXACT_SHATAB_VERSION}_{int(st.st_mtime)}_{st.st_size}"
+    out = f"/tmp/urqt_oracle_cache/exact_sha_{key}.parquet"
+    if not os.path.exists(out):
+        from urqt_spark.operators.dedup import write_exact_sha_table
+
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        write_exact_sha_table(d, out)
+    return out
+
+
+def q_incremental_exact_dedup(spark, sf_dir):
+    """Incremental exact dedup — the fourth leg of the incremental
+    ingestion family: the corpus (sha, keep_id) index is persisted
+    once; a NEW batch is hashed JVM-side (zero UDFs anywhere) and
+    probed against the index with the batch side broadcast twice
+    (membership probe, then survivor anti-join) so the 10^12-row index
+    streams exactly once and the batch payload never shuffles.
+    Survivors = content never seen in the corpus, first occurrence in
+    the batch."""
+    from urqt_spark.operators.dedup import incremental_exact_dedup
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sha_path = _exact_sha_table(spark, sf_dir)
+    newb = _derived_new_batch(d, mod=15, shift=300000)
+    out = incremental_exact_dedup(spark, newb, sha_path)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
 _SIMHASH_SIGTAB_VERSION = 1  # bump when fingerprint params change
 
 
@@ -1492,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 new / code-touched ---------------------------------
         "incremental_simhash_dedup": q_incremental_simhash_dedup,
         "incremental_clone_pairs": q_incremental_clone_pairs,
+        "incremental_exact_dedup": q_incremental_exact_dedup,
         "repetition_signals": q_repetition_signals,
         "quality_funnel": q_quality_funnel,
         "streaming_quality": q_streaming_quality,
@@ -1966,6 +2012,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, jaccard FROM pairs
             WHERE id_a IN (SELECT id FROM newdocs)
                OR id_b IN (SELECT id FROM newdocs)""",
+        # incremental exact ingestion: survivors = new-batch docs whose
+        # content is absent from the corpus, min-id within the batch
+        "incremental_exact_dedup": """
+            WITH newdocs AS (
+              SELECT CAST(doc_id + 300000 AS BIGINT) AS doc_id, text
+              FROM documents WHERE doc_id % 15 = 0
+              UNION ALL
+              SELECT CAST(doc_id + 300000 AS BIGINT),
+                     array_to_string(string_split(text, ' ')[2:], ' ')
+              FROM documents WHERE doc_id % 15 = 7),
+            new_sha AS (SELECT doc_id, sha256(text) AS sha FROM newdocs),
+            fresh AS (
+              SELECT * FROM new_sha
+              WHERE sha NOT IN (SELECT DISTINCT sha256(text) FROM documents))
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, sha AS text_sha
+            FROM fresh GROUP BY sha""",
         "lsh_ann_pairs": """
             WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS e,
                               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm

@@ -847,3 +847,44 @@ def test_fuzzy_resolve_shuffled_anti_join_variant(spark):
         for r in fuzzy_dedup_resolve(docs, pairs, broadcast_drops=False).collect()
     )
     assert a == b == [0, 3, 4, 5, 7, 8, 9]
+
+
+def test_incremental_exact_dedup_uses_persisted_index(spark, tmp_path):
+    """Fourth incremental leg: run 1 persists the (sha, keep_id)
+    index; run 2 hashes ONLY the new batch JVM-side (zero Python UDF
+    nodes anywhere), streams the index once, and returns exactly the
+    survivors a full recompute over the union would keep."""
+    from urqt_spark.operators.dedup import (
+        incremental_exact_dedup,
+        write_exact_sha_table,
+    )
+
+    base = [(i, f"document body number {i // 2}") for i in range(20)]
+    corpus = spark.createDataFrame(base, ["doc_id", "text"])
+    idx = str(tmp_path / "sha_idx.parquet")
+    write_exact_sha_table(corpus, idx)  # run 1
+
+    newb = spark.createDataFrame(
+        [
+            (100, "document body number 3"),   # dup of corpus content
+            (101, "completely novel content"),  # survives
+            (102, "completely novel content"),  # batch-internal dup of 101
+            (103, "another novel body"),        # survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_exact_dedup(spark, newb, idx)
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [101, 103]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FileScan parquet" in plan, "persisted sha index not scanned"
+    # the batch side broadcasts; the index side must NOT
+    assert "BroadcastExchange" in plan
+
+    # appending the survivors completes the ingestion step: a re-run
+    # of the SAME batch now returns nothing new
+    write_exact_sha_table(out, idx, mode="append")
+    again = incremental_exact_dedup(spark, newb, idx)
+    assert again.count() == 0

@@ -1115,3 +1115,73 @@ def incremental_simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def write_exact_sha_table(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the (sha, keep_id) exact-dedup index for a corpus — the
+    durable form every ingestion pipeline keeps so run N never
+    re-hashes what run N-1 hashed.  One row per DISTINCT content; sha
+    is JVM-side ``sha2`` (no Python anywhere in this family).  Each
+    ingestion batch appends its own surviving representatives
+    (``mode='append'``); on a real deployment the table is written
+    bucketed BY sha so the incremental membership probe is
+    co-located."""
+    (
+        df.withColumn("sha", F.sha2(F.col(text_col), 256))
+        .groupBy("sha")
+        .agg(F.min(F.col(id_col)).cast("long").alias("keep_id"))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def incremental_exact_dedup(
+    spark,
+    new_df: DataFrame,
+    sha_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup a NEW ingestion batch against the persisted corpus
+    sha index + itself, hashing ONLY the new batch — the fourth leg of
+    the incremental family (minhash `incremental_minhash_pairs`,
+    SimHash `incremental_simhash_pairs`, winnowing
+    `incremental_clone_pairs`).
+
+    Returns the SURVIVING new-batch rows: content never seen in the
+    corpus, first (min-id) occurrence within the batch.  Append their
+    (sha, keep_id) rows to the index via :func:`write_exact_sha_table`
+    with ``mode='append'`` to complete the ingestion step.
+
+    Scale shape — the new batch is tiny against a 10^12-row index, so
+    the batch side broadcasts TWICE and the index is streamed once:
+    (1) membership probe: index ⋈ broadcast(batch shas) → the hit set
+    (≤ |batch| rows); (2) survivors: batch anti-join broadcast(hits).
+    The batch payload never shuffles; the index never broadcasts; no
+    UDF (sha2 is JVM whole-stage codegen)."""
+    new_sha = new_df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.sha2(F.col(text_col), 256).alias("_sha"),
+    )
+    index = spark.read.parquet(sha_path)
+    hits = (
+        index.join(
+            F.broadcast(new_sha.select("_sha").distinct()),
+            index["sha"] == F.col("_sha"),
+        )
+        .select("_sha")
+        .distinct()
+    )
+    fresh = new_sha.join(F.broadcast(hits), "_sha", "left_anti")
+    keep_ids = fresh.groupBy("_sha").agg(F.min("_id").alias("_keep_id"))
+    return new_df.join(
+        F.broadcast(keep_ids.select("_keep_id")),
+        new_df[id_col].cast("long") == F.col("_keep_id"),
+        "left_semi",
+    )
