@@ -91,7 +91,11 @@ def main() -> None:
     # rc=124 kill arrived with nothing recorded because early unguarded
     # work ate the budget before the first guard check)
     t_start = time.time()
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    # 450s: r4 ran ~280s; r5 adds the incremental family + steadier
+    # pass counts (~+60s) and one noisy-host run measured the pre-suite
+    # alone at 290s.  Headroom vs the driver's observed kill window
+    # stays >. 2 min; the guard still sheds + emits on overrun.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450"))
 
     sf = sf_of(SF_DIR)
     n_rows = _SF_ROWS[sf]
@@ -140,9 +144,13 @@ def main() -> None:
                 flush=True,
             )
             # operators may persist() intermediates (e.g. LSH signature
-            # frames); drop them so every timed pass measures a COLD
-            # run, not a cache read from the previous pass
+            # frames) and the components loops localCheckpoint; drop
+            # BOTH stores so every timed pass measures a COLD run and
+            # the suite never accumulates dead blocks
             spark.catalog.clearCache()
+            from urqt_spark.cache import drain_persistent_rdds
+
+            drain_persistent_rdds(spark)
             t0 = time.time()
             try:
                 fn()
@@ -240,12 +248,40 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
+
+    # -- the COMPOSED curation funnel (jobs/run_curate.py) end to end:
+    #    quality screens + exact/near dedup + span dedup + temperature
+    #    mixture over the augmented documents table (the raw synthetic
+    #    docs carry no punctuation, so C4 would drop everything — the
+    #    same reason the oracle entries augment).  Runs FIRST in the
+    #    suite: if the wall budget sheds queries, the headline
+    #    composition must not be among them.
+    from jobs.run_curate import parse_args as curate_args
+    from jobs.run_curate import run as curate_run
+
+    aug_path = f"{sink_root}/aug_docs"
+    E._aug_docs(spark, SF_DIR).write.mode("overwrite").parquet(aug_path)
+
+    def funnel():
+        curate_run(
+            spark,
+            curate_args(
+                [
+                    "--input", aug_path,
+                    "--output", f"{sink_root}/curated",
+                    "--span-dedup", "--temperature", "2.0",
+                ]
+            ),
+        )
+
+    timed("curation_funnel", funnel, passes=2)
+
     for name, passes in (
         ("trim_words", 1),
         ("trim_ep2", 1),
         ("exact_dedup", 1),
-        ("minhash_lsh_pairs", 2),  # heavy queries: min-of-2 (host noise)
-        ("minhash_lsh_dedup", 2),
+        ("minhash_lsh_pairs", 1),  # steady state covered by lsh_dedup pass 2
+        ("minhash_lsh_dedup", 2),  # heavy queries: min-of-2 (host noise)
         ("incremental_minhash_dedup", 1),
         ("incremental_simhash_dedup", 1),
         ("incremental_clone_pairs", 1),
@@ -281,31 +317,6 @@ def main() -> None:
         ("events_sessions", 1),
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR)._jdf.count(), passes=passes)
-
-    # -- the COMPOSED curation funnel (jobs/run_curate.py) end to end:
-    #    quality screens + exact/near dedup + span dedup + temperature
-    #    mixture over the augmented documents table (the raw synthetic
-    #    docs carry no punctuation, so C4 would drop everything — the
-    #    same reason the oracle entries augment)
-    from jobs.run_curate import parse_args as curate_args
-    from jobs.run_curate import run as curate_run
-
-    aug_path = f"{sink_root}/aug_docs"
-    E._aug_docs(spark, SF_DIR).write.mode("overwrite").parquet(aug_path)
-
-    def funnel():
-        curate_run(
-            spark,
-            curate_args(
-                [
-                    "--input", aug_path,
-                    "--output", f"{sink_root}/curated",
-                    "--span-dedup", "--temperature", "2.0",
-                ]
-            ),
-        )
-
-    timed("curation_funnel", funnel, passes=2)
 
     shutil.rmtree(sink_root, ignore_errors=True)
     total = round(time.time() - t_start, 3)

@@ -55,7 +55,14 @@ def main() -> None:
             print(f"{name}: NO ORACLE (rows-only check)")
             continue
         try:
-            sdf = fn(spark, SF).toPandas()
+            # drain per query: several operators persist internal
+            # signature frames (callers-own-release) and the components
+            # loops localCheckpoint — a 60-entry sweep would otherwise
+            # accumulate every intermediate in the block store
+            from urqt_spark.cache import cache_drained
+
+            with cache_drained(spark):
+                sdf = fn(spark, SF).toPandas()
             odf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
