@@ -1445,6 +1445,65 @@ def q_ivf_neardup(spark, sf_dir):
     )
 
 
+_IVF_INDEX_VERSION = 1  # bump when quantizer params change
+
+
+def _ivf_index_path(spark, sf_dir: str) -> str:
+    """Persisted IVF index (centroids + (id, cell) assignments) for the
+    sf_dir embeddings corpus — written ONCE per (corpus mtime, size,
+    version), read back by the incremental query.  FROZEN centroids:
+    the incremental batch is assigned in the same cell space."""
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    key = f"{tag}_v{_IVF_INDEX_VERSION}_i{IVF_ITERS}_{int(st.st_mtime)}_{st.st_size}"
+    out = f"/tmp/urqt_oracle_cache/ivf_index_{key}"
+    if not os.path.exists(f"{out}/centroids.parquet"):
+        from urqt_spark.operators.similarity import write_ivf_index
+
+        write_ivf_index(
+            spark, src, out, iters=IVF_ITERS, assign=IVF_ND_ASSIGN
+        )
+    return out
+
+
+def q_incremental_semantic_dedup(spark, sf_dir):
+    """Incremental embedding near-dup — the FIFTH leg of the
+    incremental ingestion family: the corpus IVF index (frozen
+    centroids + assignments) is persisted once; a NEW batch (verbatim
+    vector copies + element-reversed variants under shifted ids) is
+    assigned — the run's ONLY Arrow crossing — and cell-joined against
+    the persisted assignments + itself; exact cosine verifies
+    candidates with corpus vectors fetched only behind the candidate
+    join.  The oracle replicates assignment + union-population
+    subdivision + pairing + scoring from the same centroid literals,
+    restricted to pairs touching the new batch."""
+    from urqt_spark.operators.similarity import incremental_ivf_neardup
+
+    emb = _emb(spark, sf_dir)
+    idx = _ivf_index_path(spark, sf_dir)
+    vid = F.col("vec_id").cast("long")
+    newb = (
+        emb.filter(vid % 20 == 0)
+        .select((vid + 100000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter(vid % 20 == 10).select(
+                (vid + 100000).alias("vec_id"),
+                F.reverse(F.col("embedding")).alias("embedding"),
+            )
+        )
+    )
+    return incremental_ivf_neardup(
+        spark,
+        newb,
+        idx,
+        emb,
+        threshold=IVF_ND_THRESHOLD,
+        assign=IVF_ND_ASSIGN,
+        max_cell_size=IVF_ND_MAX_CELL,
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public
     method): embedding-space near-dup clusters collapse to their
@@ -1481,6 +1540,55 @@ def _semantic_dedup_oracle_sql() -> str:
         FROM embeddings
         WHERE CAST(vec_id AS BIGINT) NOT IN (
           SELECT id FROM ({comp}) WHERE id != component)"""
+
+
+def _incremental_ivf_oracle_sql() -> str:
+    """DuckDB replica of q_incremental_semantic_dedup: assignment +
+    union-population subdivision + pairing + cosine from the SAME
+    centroid literals (ivf_centroids is deterministic, so the inlined
+    values equal the persisted index's), restricted to new-batch
+    pairs."""
+    sf_dir = os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
+    cents, _ = _ivf_parts(sf_dir)
+    cent_rows = ",\n              ".join(
+        f"({cid}, [{', '.join(repr(v) for v in c)}])" for cid, c in enumerate(cents)
+    )
+    return f"""
+        WITH cent(cid, c) AS (VALUES {cent_rows}),
+        base AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+        newe AS (
+          SELECT id + 100000 AS id, v FROM base WHERE id % 20 = 0
+          UNION ALL
+          SELECT id + 100000, list_reverse(v) FROM base WHERE id % 20 = 10),
+        e AS (SELECT * FROM base UNION ALL SELECT * FROM newe),
+        d AS (SELECT e.id, cent.cid,
+                     list_sum(list_transform(range(len(e.v)),
+                       i -> (e.v[i+1] - cent.c[i+1]) * (e.v[i+1] - cent.c[i+1]))) AS dist
+              FROM e CROSS JOIN cent),
+        a AS (SELECT id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+              FROM d),
+        cells AS (SELECT id, cid FROM a WHERE rn <= {IVF_ND_ASSIGN}),
+        cellcnt AS (SELECT cid, COUNT(*) AS cnt FROM cells GROUP BY cid),
+        cells2 AS (SELECT c.id, c.cid,
+                          c.id % CAST(FLOOR((cnt + {IVF_ND_MAX_CELL - 1})
+                                            / {IVF_ND_MAX_CELL}) AS BIGINT) AS sub
+                   FROM cells c JOIN cellcnt USING (cid)),
+        cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                 FROM cells2 x JOIN cells2 y
+                 ON x.cid = y.cid AND x.sub = y.sub AND x.id < y.id
+                 WHERE x.id >= 100000 OR y.id >= 100000),
+        vv AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        s AS (SELECT c.id_a, c.id_b,
+                     list_sum(list_transform(range(len(p.v)),
+                       i -> p.v[i+1] * q.v[i+1])) / (p.nrm * q.nrm) AS cos
+              FROM cand c
+              JOIN vv p ON p.id = c.id_a
+              JOIN vv q ON q.id = c.id_b)
+        SELECT id_a, id_b, ROUND(cos, 4) AS cosine
+        FROM s WHERE ROUND(cos, 4) >= {IVF_ND_THRESHOLD}"""
 
 
 def _ivf_neardup_oracle_sql() -> str:
@@ -1538,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_simhash_dedup": q_incremental_simhash_dedup,
         "incremental_clone_pairs": q_incremental_clone_pairs,
         "incremental_exact_dedup": q_incremental_exact_dedup,
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "repetition_signals": q_repetition_signals,
         "quality_funnel": q_quality_funnel,
         "streaming_quality": q_streaming_quality,
@@ -2307,6 +2416,16 @@ def oracle_sql() -> dict[str, str]:
         import sys
 
         print(f"[oracle_sql] skipping semantic_dedup oracle: {e}", file=sys.stderr)
+    try:
+        # incremental semantic: union-corpus replication, new-pair cut
+        out["incremental_semantic_dedup"] = _incremental_ivf_oracle_sql()
+    except Exception as e:  # pragma: no cover - defensive
+        import sys
+
+        print(
+            f"[oracle_sql] skipping incremental_semantic_dedup oracle: {e}",
+            file=sys.stderr,
+        )
     try:
         # EP2: pass-1 composition literals rebuilt from the same code
         from urqt_spark.plans.entry_queries import trim_ep2_sql

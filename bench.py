@@ -286,6 +286,7 @@ def main() -> None:
         ("incremental_simhash_dedup", 1),
         ("incremental_clone_pairs", 1),
         ("incremental_exact_dedup", 1),
+        ("incremental_semantic_dedup", 1),
         ("neardup_components", 1),
         ("fuzzy_dedup_resolve", 1),
         ("simhash_neardup", 3),  # slow ramp: steady state needs pass 3 (r4 regression was this ramp)

@@ -888,3 +888,69 @@ def test_incremental_exact_dedup_uses_persisted_index(spark, tmp_path):
     write_exact_sha_table(out, idx, mode="append")
     again = incremental_exact_dedup(spark, newb, idx)
     assert again.count() == 0
+
+
+def test_incremental_ivf_neardup_uses_persisted_index(spark, tmp_path):
+    """Fifth incremental leg (embeddings): run 1 persists the IVF
+    index (frozen centroids + assignments); run 2 assigns ONLY the new
+    batch (zero live ArrowEvalPython once the persist materializes —
+    the corpus side is a parquet scan) and matches a full
+    ivf_neardup_pairs recompute over the union restricted to
+    new-batch pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from urqt_spark.operators.similarity import (
+        incremental_ivf_neardup,
+        ivf_neardup_pairs,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(17)
+    # two well-separated clusters so cells are meaningful
+    centers = np.array([[5.0, 0, 0, 0], [0, 5.0, 0, 0]])
+    vecs = np.vstack(
+        [centers[i % 2] + 0.1 * rng.standard_normal(4) for i in range(60)]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(60, dtype="int64"), "embedding": [list(v) for v in vecs]}
+    )
+    src = str(tmp_path / "emb.parquet")
+    pdf.to_parquet(src, index=False)
+    idx = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(spark, src, idx, n_centroids=4, assign=2)  # run 1
+    assert read_ivf_centroids(idx) == [[float(x) for x in c] for c in cents]
+
+    corpus = spark.read.parquet(src)
+    # new batch: a copy of vec 0 (cosine 1.0 with it) + a far vector
+    newb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.array([100, 101], dtype="int64"),
+                "embedding": [list(vecs[0]), [0.0, 0.0, 7.0, 0.0]],
+            }
+        )
+    )
+    inc = incremental_ivf_neardup(
+        spark, newb, idx, corpus, threshold=0.9, assign=2, max_cell_size=32
+    )
+    got = {(r.id_a, r.id_b): r.cosine for r in inc.collect()}
+    assert (0, 100) in got and got[(0, 100)] == 1.0
+    assert not any(101 in p for p in got)  # the far vector pairs with nothing
+
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert _live_udf_nodes(plan) == 0, plan
+    assert "FileScan parquet" in plan, "persisted assignment table not scanned"
+
+    # ground truth: full recompute over the union, new-pair cut
+    union = corpus.unionByName(newb)
+    full = {
+        (r.id_a, r.id_b): r.cosine
+        for r in ivf_neardup_pairs(
+            union, cents, threshold=0.9, assign=2, max_cell_size=32
+        ).collect()
+        if r.id_a >= 100 or r.id_b >= 100
+    }
+    assert got == full
+    spark.catalog.clearCache()

@@ -16,6 +16,8 @@ rounding precision.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -644,4 +646,164 @@ def ivf_topk(
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def write_ivf_index(
+    spark,
+    parquet_path: str,
+    out_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int | None = None,
+    iters: int = 5,
+    assign: int = 2,
+) -> list[list[float]]:
+    """Persist the IVF index of a corpus — the durable artifact the
+    incremental semantic-dedup path reads back (the fifth leg of the
+    incremental ingestion family): ``centroids.parquet`` (cid, vector)
+    and ``assignments/`` (id, cell) parquet.  Written once per corpus;
+    each ingestion batch appends its own assignments so a vector is
+    assigned exactly once, ever.  Centroids are deliberately FROZEN:
+    re-clustering would reshuffle every historical assignment, so a
+    production deployment re-trains only on scheduled re-index events.
+    Returns the centroid list for immediate use."""
+    import pandas as pd
+
+    cents = ivf_centroids(
+        parquet_path,
+        n_centroids=n_centroids or auto_n_centroids(parquet_path),
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    df = spark.read.parquet(parquet_path)
+    ivf_cells(df, cents, assign, vec_col, id_col).write.mode("overwrite").parquet(
+        f"{out_path}/assignments"
+    )
+    os.makedirs(out_path, exist_ok=True)
+    pd.DataFrame(
+        {
+            "cid": range(len(cents)),
+            "centroid": [[float(x) for x in c] for c in cents],
+        }
+    ).to_parquet(f"{out_path}/centroids.parquet", index=False)
+    return cents
+
+
+def read_ivf_centroids(index_path: str) -> list[list[float]]:
+    """Centroid list from a :func:`write_ivf_index` artifact."""
+    import pandas as pd
+
+    c = pd.read_parquet(f"{index_path}/centroids.parquet").sort_values("cid")
+    return [[float(x) for x in v] for v in c.centroid]
+
+
+def incremental_ivf_neardup(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    corpus_df: DataFrame,
+    threshold: float = 0.4,
+    assign: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_size: int | None = 4096,
+) -> DataFrame:
+    """Embedding near-dup pairs of a NEW ingestion batch against the
+    existing corpus + itself, assigning ONLY the new batch to cells —
+    yesterday's corpus is never re-assigned; its (id, cell) rows are
+    read back from the :func:`write_ivf_index` artifact, and the
+    FROZEN centroids guarantee old and new assignments live in the
+    same cell space.
+
+    Plan shape: ONE ArrowEvalPython total (the new batch's cell
+    assignment); the assignment table is a plain parquet scan; the
+    ``max_cell_size`` skew cap is computed over the UNION population
+    (cell size is a whole-corpus property) with the same id-modulus
+    subdivision as :func:`ivf_neardup_pairs`; candidates = union
+    assignments equi-joined against NEW assignments on (cell, sub);
+    exact-cosine verify fetches vectors ONLY for candidate ids, from
+    whichever side owns the doc (corpus re-read is Catalyst-only,
+    behind the candidate join — embeddings never shuffle for
+    non-candidates).
+
+    Output contract: (id_a, id_b, cosine) with id_a < id_b, cosine ≥
+    threshold, at least one side in the new batch — corpus-internal
+    pairs were yesterday's output and are not recomputed."""
+    from pyspark.storagelevel import StorageLevel
+
+    cents = read_ivf_centroids(index_path)
+    new_cells = ivf_cells(new_df, cents, assign, vec_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    old_cells = spark.read.parquet(f"{index_path}/assignments").select("id", "cell")
+    all_cells = old_cells.withColumn("is_new", F.lit(False)).unionByName(
+        new_cells.withColumn("is_new", F.lit(True))
+    )
+    if max_cell_size is not None:
+        all_cells = all_cells.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = all_cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+        n_over = counts.filter(F.col("cnt") > max_cell_size).count()
+        if n_over:
+            import sys
+
+            print(
+                f"[incremental_ivf_neardup] subdividing {n_over} cell(s) "
+                f"over max_cell_size={max_cell_size} by id-modulus "
+                f"(cross-subcell pairs are dropped — bounded-cost trade)",
+                file=sys.stderr,
+            )
+        k_sub = F.floor(
+            (F.col("cnt") + F.lit(max_cell_size - 1)) / F.lit(max_cell_size)
+        ).cast("long")
+        all_cells = all_cells.join(
+            F.broadcast(counts.select("cell", k_sub.alias("k_sub"))), "cell"
+        ).select(
+            "id", "cell", "is_new", (F.col("id") % F.col("k_sub")).alias("sub")
+        )
+    else:
+        all_cells = all_cells.withColumn("sub", F.lit(0).cast("long"))
+    new_side = all_cells.filter(F.col("is_new"))
+    a, b = all_cells.alias("a"), new_side.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (~F.col("a.is_new") | (F.col("a.id") < F.col("b.id"))),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pay = corpus_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).unionByName(
+        new_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).withColumn("nrm", _norm(F.col("v")))
+    cand = cand.join(
+        pay.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        pay.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "id_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
