@@ -227,7 +227,12 @@ asymmetrically (a pure-CPU busy-loop on this VM scales 1/8/16/32
 procs at 64/459/902/1319 M iters/s — only 0.90 efficiency from 1→8
 procs with ZERO software involved).  {ladder_txt}: clean scaling
 while the busy-thread count stays inside the physical-core budget,
-SMT-limited past 8 slots, flat-to-degrading past 16 (the shuffle-free plan removed the former local[32] thrash — 32 slots now merely plateau past saturation).  On a
+SMT-limited past 8 slots, degrading past 16 as oversubscription
+grows (run-to-run the 16/32 rungs swing with host contention — r4
+measured 12.6/14.9s, r5 18.8/30.2s on the same code — but every run
+agrees the optimum is 8-16 slots, i.e. within the physical-core
+budget; the pre-r4 local[32] shuffle thrash, 65s+, has not recurred
+since the shuffle-free plan landed).  On a
 multi-executor cluster the same sizing rule is `spark.executor.cores
 ≤ physical_cores/2` per executor, and this protocol's N→4N window is
 measured strictly inside that budget.  The host also shows bursty invisible CPU contention
