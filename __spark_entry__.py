@@ -36,6 +36,7 @@ from urqt_spark.functions.text import (
     winnow_clone_pairs_oracle_sql,
     winnow_oracle_sql,
 )
+from urqt_spark.operators.packing import split_long_documents_oracle_sql
 from urqt_spark.operators.decontaminate import (
     containment_oracle_sql,
     ngram_containment,
@@ -334,6 +335,25 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(
         base, budget=512, n_shards=4, seed=2, text_col="text"
     ).select("doc_id", "n_tokens", "shard", "pack_id", "pack_pos")
+
+
+SPLIT_MAX_TOKENS = 32
+
+
+def q_split_long_docs(spark, sf_dir):
+    """Row-local document chunking (operators/packing.py
+    split_long_documents): every doc split into consecutive ≤32-token
+    chunks by word-index arithmetic — scan → HOF projection → explode,
+    no shuffle, no UDF; the upstream step that bounds pack_sequences'
+    budget overshoot."""
+    from urqt_spark.operators.packing import split_long_documents
+
+    return split_long_documents(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        max_tokens=SPLIT_MAX_TOKENS,
+    )
 
 
 def q_score_buckets(spark, sf_dir):
@@ -1647,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_clone_pairs": q_incremental_clone_pairs,
         "incremental_exact_dedup": q_incremental_exact_dedup,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
+        "split_long_docs": q_split_long_docs,
         "repetition_signals": q_repetition_signals,
         "quality_funnel": q_quality_funnel,
         "streaming_quality": q_streaming_quality,
@@ -1966,6 +1987,9 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY ngram
             ORDER BY n DESC, ngram ASC LIMIT 50""",
         "winnow_fingerprints": winnow_oracle_sql("documents"),
+        "split_long_docs": split_long_documents_oracle_sql(
+            "documents", SPLIT_MAX_TOKENS
+        ),
         "winnow_clone_pairs": winnow_clone_pairs_oracle_sql(
             "documents", WCP_K, WCP_W, WCP_MIN, max_df=WCP_MAX_DF
         ),

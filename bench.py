@@ -310,6 +310,7 @@ def main() -> None:
         ("score_buckets", 1),
         ("clone_dedup", 1),
         ("pack_sequences", 1),
+        ("split_long_docs", 1),
         ("repetition_signals", 1),
         ("hash_sample", 1),
         ("stratified_sample", 1),

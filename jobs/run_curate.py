@@ -33,12 +33,17 @@ pipeline runs them:
 6. **LM filter** (``--ppl-head-buckets N``) — CCNet's rule: score the
    survivors with the char-LM perplexity UDF and keep each stratum's
    lowest-perplexity 1/N (operators/bucketing.py ``keep_head``).
-7. **sample**   — deterministic content-hash draw: ``--temperature``
+7. **split** (``--split-tokens N``) — chunk surviving documents into
+   ≤N whitespace-token pieces (operators/packing.py
+   split_long_documents, row-local explode; derived chunk ids
+   doc_id·2²⁰ + chunk_idx) — after the doc-level screens/dedup that
+   need whole-doc stats, before sampling/packing.
+8. **sample**   — deterministic content-hash draw: ``--temperature``
    [+ ``--budget``] (n^(1/T) mixture rates derived from the live
    per-stratum counts, applied row-locally), ``--sample-rate``
    (row-local threshold draw) or ``--quota`` per ``--strata-col``
    (one exchange).  Reproducible under any partitioning.
-8. **pack** (``--pack-budget N``) — sequence packing over the final
+9. **pack** (``--pack-budget N``) — sequence packing over the final
    survivors (operators/packing.py): BPE-ish token counts computed in
    the same pass, docs sharded by id hash and contiguously filled into
    fixed token-budget packs (adds shard/pack_id/pack_pos).
@@ -106,6 +111,10 @@ def parse_args(argv=None):
     p.add_argument("--budget", type=int, default=None,
                    help="target total rows for --temperature resampling")
     p.add_argument("--strata-col", default="lang")
+    p.add_argument("--split-tokens", type=int, default=None,
+                   help="split surviving docs into <=N whitespace-token "
+                        "chunks before sampling/packing (derived chunk "
+                        "ids: doc_id*2^20 + chunk_idx)")
     p.add_argument("--pack-budget", type=int, default=None,
                    help="pack surviving docs into fixed token-budget "
                         "sequences (BPE-ish token counts computed in "
@@ -314,6 +323,40 @@ def _run(spark, args) -> dict:
                 id_col=args.id_col, n_buckets=args.ppl_head_buckets,
             ).drop("ppl"),
             "ppl_head",
+        )
+
+    if args.split_tokens:
+        from pyspark.sql import functions as F
+
+        from urqt_spark.operators.packing import (
+            _CHUNK_STRIDE,
+            split_long_documents,
+        )
+
+        # chunk AFTER doc-level screens/dedup (which need whole-doc
+        # stats), BEFORE sampling/packing (which should see bounded
+        # rows).  Row-local; derived ids keep chunks addressable.
+        ch = split_long_documents(
+            cur, args.split_tokens, text_col=args.text_col,
+            id_col=args.id_col, passthrough=True,
+        )
+        extra = [
+            c for c in ch.columns
+            if c not in (
+                args.id_col, "chunk_idx", "chunk_text",
+                "n_tokens", "n_chunk_tokens",
+            )
+        ]
+        cur = materialize(
+            ch.select(
+                (
+                    F.col(args.id_col).cast("long") * _CHUNK_STRIDE
+                    + F.col("chunk_idx")
+                ).alias(args.id_col),
+                F.col("chunk_text").alias(args.text_col),
+                *extra,
+            ),
+            "split",
         )
 
     if args.temperature is not None:

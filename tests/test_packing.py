@@ -70,3 +70,59 @@ def test_layout_independent(spark):
     assert a == b
     with pytest.raises(ValueError):
         pack_sequences(df, budget=0)
+
+
+def test_split_long_documents_chunks_and_passthrough(spark):
+    from urqt_spark.operators.packing import split_long_documents
+
+    rows = [
+        (1, "en", " ".join(f"w{j}" for j in range(10))),   # 10 tokens → 3 chunks @4
+        (2, "fr", "a b"),                                   # 2 tokens → 1 chunk
+        (3, "en", " ".join(f"x{j}" for j in range(8))),    # exactly 2 chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = split_long_documents(df, max_tokens=4, passthrough=True)
+    got = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    assert len(got) == 3 + 1 + 2
+    assert got[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert got[(1, 2)].chunk_text == "w8 w9"
+    assert got[(1, 2)].n_chunk_tokens == 2
+    assert got[(2, 0)].chunk_text == "a b" and got[(2, 0)].n_chunk_tokens == 2
+    assert got[(3, 1)].n_chunk_tokens == 4
+    assert all(r.lang in ("en", "fr") for r in got.values())  # passthrough
+    # reassembly invariant: chunks joined in order reproduce the doc
+    for i, _, text in rows:
+        parts = [got[(i, k)].chunk_text for k in range(sum(1 for key in got if key[0] == i))]
+        assert " ".join(parts) == text
+    # row-local plan: no exchange, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curate_split_tokens_stage(spark, tmp_path):
+    import pandas as pd
+
+    from jobs.run_curate import main as curate_main
+    from urqt_spark.operators.packing import _CHUNK_STRIDE
+
+    rows = [
+        (i, "en", "the " + " ".join(f"w{i}x{j}" for j in range(22)) + " end.")
+        for i in range(10)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).to_parquet(
+        src, index=False
+    )
+    out = str(tmp_path / "curated")
+    rc = curate_main(
+        ["--input", src, "--output", out, "--skip-dedup",
+         "--split-tokens", "8", "--pack-budget", "16"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = pd.read_parquet(out)
+    # every chunk row is <= 8 whitespace tokens, ids are derived
+    assert (got["text"].str.split(" ").str.len() <= 8).all()
+    assert (got["doc_id"] // _CHUNK_STRIDE < 10).all()
+    assert got["doc_id"].is_unique
+    assert {"lang", "pack_id", "pack_pos"} <= set(got.columns)

@@ -90,3 +90,114 @@ def pack_sequences(
     return out.withColumn(
         "pack_pos", F.row_number().over(wp).cast("long")
     ).drop("_ph")
+
+
+#: chunk-id stride for split_long_documents' derived ids: doc_id·2²⁰ +
+#: chunk_idx.  2²⁰ chunks/doc bounds docs at ~2²⁰·max_tokens tokens —
+#: far beyond any real document — while doc_ids up to 2^43 stay exact.
+_CHUNK_STRIDE = 1 << 20
+
+
+def split_long_documents(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: bool = False,
+) -> DataFrame:
+    """Split every document into consecutive chunks of at most
+    ``max_tokens`` whitespace tokens — the upstream complement of
+    :func:`pack_sequences` (its contiguous-fill deviation bound is one
+    DOCUMENT's length, so oversized documents must be split before
+    packing; the Gopher MAX_WORDS screen *drops* them, this keeps the
+    content).
+
+    Output: one row per chunk — (id, n_tokens [doc total], chunk_idx,
+    chunk_text, n_chunk_tokens).  ROW-LOCAL: scan → HOF projection →
+    explode; no shuffle, no UDF — chunk boundaries are word-index
+    arithmetic (words ``[k·max, (k+1)·max)`` join chunk k), so the
+    DuckDB oracle reproduces chunk text byte-for-byte.  The word array
+    is bound once per row via the ``_let`` trick (functions/text.py):
+    referencing a split() expression inside per-chunk lambdas would
+    otherwise re-tokenize per chunk (the CollapseProject O(n²) trap).
+
+    ``passthrough=True`` carries every non-text column through the
+    explode (lang, scores, …) for pipeline use; the default keeps the
+    thin oracle contract (id only).
+    """
+    from urqt_spark.functions.text import _let
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+
+    def with_words(words):
+        n = F.size(words)
+        n_chunks = F.greatest(F.ceil(n / F.lit(max_tokens)), F.lit(1).cast("long"))
+        chunks = F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda k: F.struct(
+                k.cast("long").alias("chunk_idx"),
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        words, (k * max_tokens + 1).cast("int"), max_tokens
+                    ),
+                ).alias("chunk_text"),
+                F.least(
+                    F.lit(max_tokens).cast("long"),
+                    (n.cast("long") - k * max_tokens),
+                ).alias("n_chunk_tokens"),
+            ),
+        )
+        return F.struct(n.cast("long").alias("n_tokens"), chunks.alias("chunks"))
+
+    if passthrough:
+        base = [c for c in df.columns if c != text_col]
+        sel = [F.col(c) for c in base]
+    else:
+        base = [id_col]
+        sel = [F.col(id_col).cast("long").alias(id_col)]
+    staged = df.select(
+        *sel,
+        _let(F.split(F.col(text_col), " "), with_words).alias("_s"),
+    )
+    return (
+        staged.select(
+            *base,
+            F.col("_s.n_tokens").alias("n_tokens"),
+            F.explode("_s.chunks").alias("_c"),
+        )
+        .select(
+            *base,
+            "n_tokens",
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def split_long_documents_oracle_sql(
+    relation: str = "documents", max_tokens: int = 32
+) -> str:
+    """DuckDB replica of :func:`split_long_documents` — same word-index
+    chunk rule, same clamped slice."""
+    m = max_tokens
+    return f"""
+        WITH w AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 string_split(text, ' ') AS ws
+          FROM {relation}),
+        c AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws,
+                 unnest(range(GREATEST(
+                   CAST(CEIL(len(ws) / {m}.0) AS BIGINT), 1))) AS chunk_idx
+          FROM w)
+        SELECT doc_id, n_tokens,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               array_to_string(
+                 ws[chunk_idx * {m} + 1 : (chunk_idx + 1) * {m}], ' '
+               ) AS chunk_text,
+               CAST(LEAST({m}, n_tokens - chunk_idx * {m}) AS BIGINT)
+                 AS n_chunk_tokens
+        FROM c"""
