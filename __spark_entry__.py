@@ -36,6 +36,7 @@ from urqt_spark.functions.text import (
     winnow_clone_pairs_oracle_sql,
     winnow_oracle_sql,
 )
+from urqt_spark.functions.corpus_filters import drop_repeated_spans_oracle_sql
 from urqt_spark.operators.packing import split_long_documents_oracle_sql
 from urqt_spark.operators.decontaminate import (
     containment_oracle_sql,
@@ -335,6 +336,22 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(
         base, budget=512, n_shards=4, seed=2, text_col="text"
     ).select("doc_id", "n_tokens", "shard", "pack_id", "pack_pos")
+
+
+def q_drop_repeated_spans(spark, sf_dir):
+    """Intra-document repetition removal (corpus_filters
+    drop_repeated_spans): duplicated spans removed, first occurrence
+    kept in place — exercised at word level where the gate corpus has
+    real repeats (production delims: lines/sentences).  Row-local, one
+    Arrow crossing; the oracle pays the quadratic list_position form."""
+    from urqt_spark.functions.corpus_filters import drop_repeated_spans
+
+    return drop_repeated_spans(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        delim=" ",
+    )
 
 
 SPLIT_MAX_TOKENS = 32
@@ -1668,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_exact_dedup": q_incremental_exact_dedup,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "split_long_docs": q_split_long_docs,
+        "drop_repeated_spans": q_drop_repeated_spans,
         "repetition_signals": q_repetition_signals,
         "quality_funnel": q_quality_funnel,
         "streaming_quality": q_streaming_quality,
@@ -1989,6 +2007,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": winnow_oracle_sql("documents"),
         "split_long_docs": split_long_documents_oracle_sql(
             "documents", SPLIT_MAX_TOKENS
+        ),
+        "drop_repeated_spans": drop_repeated_spans_oracle_sql(
+            "documents", delim=" "
         ),
         "winnow_clone_pairs": winnow_clone_pairs_oracle_sql(
             "documents", WCP_K, WCP_W, WCP_MIN, max_df=WCP_MAX_DF

@@ -311,6 +311,7 @@ def main() -> None:
         ("clone_dedup", 1),
         ("pack_sequences", 1),
         ("split_long_docs", 1),
+        ("drop_repeated_spans", 1),
         ("repetition_signals", 1),
         ("hash_sample", 1),
         ("stratified_sample", 1),

@@ -282,3 +282,28 @@ def test_stratified_quota_sample(spark):
     assert {(r["doc_id"]) for r in again.collect()} == {r["doc_id"] for r in rows}
     with pytest.raises(ValueError):
         stratified_quota_sample(df, quota=0)
+
+
+def test_drop_repeated_spans_first_occurrence(spark):
+    from urqt_spark.functions.corpus_filters import drop_repeated_spans
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta alpha gamma beta alpha"),
+            (2, "no repeats at all here"),
+            (3, ""),
+        ],
+    )
+    out = {r.doc_id: r.text_dedup for r in drop_repeated_spans(df, delim=" ").collect()}
+    assert out[1] == "alpha beta gamma"  # first occurrences, order kept
+    assert out[2] == "no repeats at all here"
+    assert out[3] == ""
+    # line-level delim
+    df2 = _docs(spark, [(1, "l1\nl2\nl1\nl3")])
+    out2 = drop_repeated_spans(df2, delim="\n").collect()[0].text_dedup
+    assert out2 == "l1\nl2\nl3"
+    # row-local plan: no exchange, exactly one Arrow crossing
+    plan = drop_repeated_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1

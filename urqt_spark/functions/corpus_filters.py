@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -386,3 +387,76 @@ def repetition_oracle_sql(relation: str = "documents") -> str:
             AND dup_2gram_char_frac <= {MAX_DUP_NGRAM_CHAR_FRAC}
             AND dup_3gram_char_frac <= {MAX_DUP_NGRAM_CHAR_FRAC}) AS repetition_pass
     FROM sig"""
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition removal (Gopher/MassiveText family)
+# ---------------------------------------------------------------------------
+
+
+def make_drop_repeated_spans_udf(delim: str = "\n"):
+    """Pandas UDF text → text with duplicated ``delim``-separated spans
+    removed, FIRST occurrence kept in place — the intra-document
+    counterpart of the cross-document C4 rule in
+    ``operators/span_dedup.py`` (public method: the repetition-removal
+    normalization of Rae et al. 2021 app. A; production delims:
+    ``"\\n"`` for lines, ``". "`` for sentences).
+
+    Why a UDF (same reasoning as :func:`make_repetition_udf`): the
+    pure-Catalyst form is ``filter(arr, (x,i) → array_position(arr,x)
+    = i+1)`` — array_position is a linear scan per element, O(n²) per
+    document, a scale-killer at 100k-span web docs.  The
+    ``dict.fromkeys`` pass is O(n) per doc, Arrow-batched, and the
+    plan stays row-local (scan → ONE ArrowEvalPython → project; no
+    exchange).  The DuckDB oracle pays the quadratic list_position
+    form — quarantined to gate scale, like the other quadratic oracle
+    paths."""
+
+    @F.pandas_udf(StringType())
+    def drop_repeated_spans_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                delim.join(dict.fromkeys((t or "").split(delim)))
+                for t in texts
+            ]
+        )
+
+    return drop_repeated_spans_udf
+
+
+def drop_repeated_spans(
+    df: DataFrame,
+    delim: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text_dedup): every document with duplicated spans
+    removed (first occurrence kept).  ROW-LOCAL — documents never
+    shuffle; composes before the cross-document pipeline (dedupe
+    within, then across)."""
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        make_drop_repeated_spans_udf(delim)(F.col(text_col)).alias("text_dedup"),
+    )
+
+
+def drop_repeated_spans_oracle_sql(
+    relation: str = "documents", delim: str = " "
+) -> str:
+    """DuckDB replica (quadratic list_position form — oracle scale
+    only)."""
+    d = delim.replace("'", "''")
+    return f"""
+        WITH w AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 string_split(text, '{d}') AS ws
+          FROM {relation})
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(
+                   list_transform(range(len(ws)),
+                     i -> CASE WHEN list_position(ws, ws[i+1]) = i + 1
+                               THEN ws[i+1] END),
+                   x -> x IS NOT NULL),
+                 '{d}') AS text_dedup
+        FROM w"""
