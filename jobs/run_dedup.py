@@ -32,6 +32,23 @@ Methods:
                   (IVF cell-local pairs → components → anti-join);
                   input may be a parquet file or directory
 
+Incremental ingestion mode (the production run-N shape — a corpus is
+signed ONCE, ever):
+
+    # run 0: build the persisted index for the method
+    spark-submit jobs/run_dedup.py --method simhash --init-index \
+        --input /data/docs --index /data/idx/simhash --output /tmp/x
+    # run N: --input is the NEW batch; only it is re-processed, and
+    # output rows all involve it.  --update-index appends the batch's
+    # signatures so run N+1 sees it.
+    spark-submit jobs/run_dedup.py --method simhash \
+        --input /data/batch_n --index /data/idx/simhash \
+        --update-index --output /data/pairs_n
+
+Supported with --index: exact (output = surviving new rows; the index
+update appends the survivors), minhash (+ --corpus for the Jaccard
+verify), simhash, clones, semantic (+ --corpus for the cosine verify).
+
 Prints ONE JSON stats line on stdout.
 """
 
@@ -66,6 +83,23 @@ def parse_args(argv=None):
     p.add_argument("--max-hamming", type=int, default=8)
     p.add_argument("--min-shared", type=int, default=4)
     p.add_argument("--precluster", action="store_true")
+    p.add_argument("--index", default=None, metavar="DIR",
+                   help="persisted per-corpus index for INCREMENTAL runs: "
+                        "with --init-index, build it from --input; without, "
+                        "treat --input as a NEW ingestion batch and emit "
+                        "only results involving it (exact/minhash/simhash/"
+                        "clones/semantic)")
+    p.add_argument("--init-index", action="store_true",
+                   help="write the --method index for --input to --index "
+                        "and exit (run N+1 passes --index without it)")
+    p.add_argument("--update-index", action="store_true",
+                   help="after an incremental run, append the new batch's "
+                        "signatures/fingerprints (exact: survivors' shas) "
+                        "to --index so the next batch sees this one")
+    p.add_argument("--corpus", default=None,
+                   help="corpus parquet for incremental verify stages that "
+                        "re-read payload behind the candidate join "
+                        "(minhash shingles, semantic vectors)")
     return p.parse_args(argv)
 
 
@@ -79,6 +113,154 @@ def run(spark, args) -> dict:
         return _run(spark, args)
 
 
+def _init_index(spark, args) -> dict:
+    """Build the persisted per-corpus index for --method from --input."""
+    df = spark.read.parquet(args.input)
+    if args.method == "exact":
+        from urqt_spark.operators.dedup import write_exact_sha_table
+
+        write_exact_sha_table(df, args.index, args.text_col, args.id_col)
+    elif args.method == "minhash":
+        from urqt_spark.operators.dedup import write_minhash_signature_table
+
+        write_minhash_signature_table(df, args.index, args.text_col, args.id_col)
+    elif args.method == "simhash":
+        from urqt_spark.operators.dedup import write_simhash_signature_table
+
+        write_simhash_signature_table(
+            df, args.index, args.text_col, args.id_col, n_bits=128
+        )
+    elif args.method == "clones":
+        from urqt_spark.functions.text import write_winnow_fingerprint_table
+
+        write_winnow_fingerprint_table(
+            df, args.index, args.text_col, args.id_col, k=16, w=8
+        )
+    elif args.method == "semantic":
+        from urqt_spark.operators.similarity import write_ivf_index
+
+        write_ivf_index(
+            spark, args.input, args.index,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+    else:
+        raise SystemExit(f"--init-index not supported for --method {args.method}")
+    return {
+        "method": args.method,
+        "index": args.index,
+        "indexed_rows": df.count(),
+    }
+
+
+def _run_incremental(spark, args) -> dict:
+    """Incremental ingestion: --input is the NEW batch; the corpus is
+    the persisted --index (plus --corpus payload where verify re-reads
+    it).  Only the new batch is re-processed; output rows all involve
+    the new batch."""
+    newb = spark.read.parquet(args.input)
+    if args.method == "exact":
+        from urqt_spark.operators.dedup import (
+            incremental_exact_dedup,
+            write_exact_sha_table,
+        )
+
+        out = incremental_exact_dedup(
+            spark, newb, args.index, args.text_col, args.id_col
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        if args.update_index:
+            # append the SURVIVORS' shas: the next batch sees this one
+            write_exact_sha_table(
+                spark.read.parquet(args.output), args.index,
+                args.text_col, args.id_col, mode="append",
+            )
+    elif args.method == "minhash":
+        from urqt_spark.operators.dedup import (
+            incremental_minhash_pairs,
+            write_minhash_signature_table,
+        )
+
+        if not args.corpus:
+            raise SystemExit("--method minhash with --index needs --corpus "
+                             "(exact-Jaccard verify re-shingles candidates)")
+        corpus = spark.read.parquet(args.corpus)
+        out = incremental_minhash_pairs(
+            spark, newb, args.index, corpus,
+            text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        if args.update_index:
+            write_minhash_signature_table(
+                newb, args.index, args.text_col, args.id_col, mode="append"
+            )
+    elif args.method == "simhash":
+        from urqt_spark.operators.dedup import (
+            incremental_simhash_pairs,
+            write_simhash_signature_table,
+        )
+
+        out = incremental_simhash_pairs(
+            spark, newb, args.index,
+            text_col=args.text_col, id_col=args.id_col,
+            max_hamming=args.max_hamming, n_bits=128,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        if args.update_index:
+            write_simhash_signature_table(
+                newb, args.index, args.text_col, args.id_col,
+                n_bits=128, mode="append",
+            )
+    elif args.method == "clones":
+        from urqt_spark.functions.text import (
+            incremental_clone_pairs,
+            write_winnow_fingerprint_table,
+        )
+
+        out = incremental_clone_pairs(
+            spark, newb, args.index,
+            text_col=args.text_col, id_col=args.id_col,
+            k=16, w=8, min_shared=args.min_shared,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        if args.update_index:
+            write_winnow_fingerprint_table(
+                newb, args.index, args.text_col, args.id_col,
+                k=16, w=8, mode="append",
+            )
+    elif args.method == "semantic":
+        from urqt_spark.operators.similarity import (
+            incremental_ivf_neardup,
+            ivf_cells,
+            read_ivf_centroids,
+        )
+
+        if not args.corpus:
+            raise SystemExit("--method semantic with --index needs --corpus "
+                             "(cosine verify re-reads corpus vectors)")
+        corpus = spark.read.parquet(args.corpus)
+        out = incremental_ivf_neardup(
+            spark, newb, args.index, corpus,
+            threshold=args.threshold,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        if args.update_index:
+            cents = read_ivf_centroids(args.index)
+            ivf_cells(
+                newb, cents, vec_col=args.vec_col, id_col=args.id_col
+            ).write.mode("append").parquet(f"{args.index}/assignments")
+    else:
+        raise SystemExit(f"--index not supported for --method {args.method}")
+    return {
+        "method": args.method,
+        "incremental": True,
+        "batch_rows": newb.count(),
+        "output_rows": spark.read.parquet(args.output).count(),
+        "index_updated": bool(args.update_index),
+    }
+
+
 def _run(spark, args) -> dict:
     from urqt_spark.operators.dedup import (
         exact_dedup,
@@ -89,6 +271,13 @@ def _run(spark, args) -> dict:
         simhash_neardup_pairs,
     )
     from urqt_spark.functions.text import winnow_clone_pairs
+
+    if args.init_index:
+        if not args.index:
+            raise SystemExit("--init-index needs --index DIR")
+        return _init_index(spark, args)
+    if args.index:
+        return _run_incremental(spark, args)
 
     df = spark.read.parquet(args.input)
     if args.method == "exact":

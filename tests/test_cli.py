@@ -327,3 +327,77 @@ def test_curate_funnel_leaves_no_cached_blocks(spark, tmp_path):
     )
     assert rc == 0
     assert n_cached_rdds(spark) == 0
+
+
+def test_dedup_job_incremental_mode(spark, tmp_path):
+    """The production run-N shape via the CLI: --init-index signs the
+    corpus once; a later run processes ONLY the new batch against the
+    index; --update-index makes batch N visible to batch N+1."""
+    import pandas as pd
+
+    from jobs.run_dedup import main as dedup_main
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_rows = [
+        {"doc_id": i, "text": f"{base} doc{i} " + " ".join(f"t{i}x{j}" for j in range(20))}
+        for i in range(12)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame(corpus_rows).to_parquet(src, index=False)
+    idx = str(tmp_path / "idx_exact")
+
+    # run 0: build the exact index
+    rc = dedup_main(
+        ["--input", src, "--output", str(tmp_path / "ignored"),
+         "--method", "exact", "--index", idx, "--init-index"],
+        spark=spark,
+    )
+    assert rc == 0
+
+    # run 1: batch = one dup of doc 3 + one novel doc
+    batch = [
+        {"doc_id": 100, "text": corpus_rows[3]["text"]},
+        {"doc_id": 101, "text": "entirely new content never seen"},
+    ]
+    b1 = str(tmp_path / "batch1.parquet")
+    pd.DataFrame(batch).to_parquet(b1, index=False)
+    out1 = str(tmp_path / "surv1")
+    rc = dedup_main(
+        ["--input", b1, "--output", out1, "--method", "exact",
+         "--index", idx, "--update-index"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert sorted(pd.read_parquet(out1).doc_id) == [101]
+
+    # run 2: a dup of run 1's survivor — the updated index catches it
+    b2 = str(tmp_path / "batch2.parquet")
+    pd.DataFrame([{"doc_id": 200, "text": batch[1]["text"]}]).to_parquet(
+        b2, index=False
+    )
+    out2 = str(tmp_path / "surv2")
+    rc = dedup_main(
+        ["--input", b2, "--output", out2, "--method", "exact",
+         "--index", idx],
+        spark=spark,
+    )
+    assert rc == 0
+    assert len(pd.read_parquet(out2)) == 0  # caught by the appended index
+
+    # simhash leg: init + incremental pairs for an exact copy
+    idx_sh = str(tmp_path / "idx_simhash")
+    rc = dedup_main(
+        ["--input", src, "--output", str(tmp_path / "ignored2"),
+         "--method", "simhash", "--index", idx_sh, "--init-index"],
+        spark=spark,
+    )
+    assert rc == 0
+    out3 = str(tmp_path / "pairs_sh")
+    rc = dedup_main(
+        ["--input", b1, "--output", out3, "--method", "simhash",
+         "--index", idx_sh],
+        spark=spark,
+    )
+    assert rc == 0
+    pairs = {(r.id_a, r.id_b) for _, r in pd.read_parquet(out3).iterrows()}
+    assert (3, 100) in pairs  # the planted copy found against the index
