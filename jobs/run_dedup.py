@@ -48,6 +48,9 @@ signed ONCE, ever):
 Supported with --index: exact (output = surviving new rows; the index
 update appends the survivors), minhash (+ --corpus for the Jaccard
 verify), simhash, clones, semantic (+ --corpus for the cosine verify).
+--corpus must cover every document whose signatures live in the index
+(i.e. the original corpus plus previously appended batches) — the
+verify stage re-reads payload behind the candidate join from it.
 
 Prints ONE JSON stats line on stdout.
 """
