@@ -66,3 +66,26 @@ def test_pyfiles_zip_importable(tmp_path):
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
     )
     assert r.returncode == 0 and r.stdout.strip() == "True", r.stderr[-500:]
+
+
+def test_committed_pyfiles_zip_is_fresh():
+    """The COMMITTED dist/quality_filter.zip must contain every module
+    of the live urqt_spark package — a stale package ships a broken
+    spark-submit job even when the repo is green (found stale in r5:
+    the zip predated operators/packing.py and cache.py)."""
+    import os
+
+    repo = "/root/repo"
+    want = set()
+    for root, _dirs, files in os.walk(os.path.join(repo, "urqt_spark")):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                want.add(os.path.relpath(os.path.join(root, f), repo))
+    have = set(zipfile.ZipFile(os.path.join(repo, "dist/quality_filter.zip")).namelist())
+    missing = sorted(want - have)
+    assert not missing, (
+        f"dist/quality_filter.zip is stale — rebuild with "
+        f"scripts/package_pyfiles.py; missing: {missing}"
+    )
