@@ -72,16 +72,59 @@ _LANG_MARKERS = {
 _MARKER_ORDER = ["en", "es", "de", "fr", "zh"]  # fixed argmax tie order
 
 
+def _scan(spark, path):
+    """Scale-adaptive parallel scan of one driver parquet file
+    (optimization guide §2.5 "input skew" / §6 input splits).
+
+    The driver tables are written with ~1M-row row groups (documents /
+    embeddings / events are ONE row group), and parquet byte-range
+    splits cannot cut inside a row group — so a plain read runs the
+    whole first stage of every operator query as a SINGLE task (at
+    sf1.0 the 50k-doc shingle projection measured 23 s serial vs ~3 s
+    parallel).  Two cases, decided from cheap file metadata:
+
+    * enough row groups (>= half the slots): size maxPartitionBytes so
+      byte splits land one-per-row-group — full scan parallelism with
+      NO exchange;
+    * too few row groups: round-robin ``repartition`` right after the
+      read (the guide's prescribed fix for unsplittable inputs).  The
+      payload crossing this exchange is the small file itself; at
+      production scale row groups are abundant and this branch never
+      fires.
+    """
+    import pyarrow.parquet as pq
+
+    df = spark.read.parquet(path)
+    slots = spark.sparkContext.defaultParallelism
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:  # directory input → already multi-file
+        return df
+    if meta.num_rows < 4096 or os.path.getsize(path) < (4 << 20):
+        # small table: the bench forces queries with count(), which
+        # prunes row-local projections down to a near-free scan — an
+        # unconditional repartition would ADD an exchange to those.
+        # Below ~4 MiB the serial-scan penalty for the heavy operators
+        # is smaller than the exchange overhead for the light ones.
+        return df
+    if meta.num_row_groups >= max(slots // 2, 2):
+        size = os.path.getsize(path)
+        split = max(size // meta.num_row_groups, 1 << 20)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        return df
+    return df.repartition(2 * slots)
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _scan(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _scan(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _li(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return _scan(spark, f"{sf_dir}/lineitem.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -697,7 +740,7 @@ def q_fuzzy_dedup_resolve(spark, sf_dir):
     )
 
 
-_SIGTAB_VERSION = 1  # bump when shingle/minhash/banding params change
+_SIGTAB_VERSION = 2  # bump when shingle/minhash/banding params change
 
 
 def _minhash_sig_table(spark, sf_dir: str) -> str:
@@ -762,7 +805,7 @@ def _derived_new_batch(d, mod: int, shift: int):
     )
 
 
-_EXACT_SHATAB_VERSION = 1
+_EXACT_SHATAB_VERSION = 2
 
 
 def _exact_sha_table(spark, sf_dir: str) -> str:
@@ -807,7 +850,7 @@ def q_incremental_exact_dedup(spark, sf_dir):
     )
 
 
-_SIMHASH_SIGTAB_VERSION = 1  # bump when fingerprint params change
+_SIMHASH_SIGTAB_VERSION = 2  # bump when fingerprint params change
 
 
 def _simhash_sig_table(spark, sf_dir: str) -> str:
@@ -852,7 +895,7 @@ def q_incremental_simhash_dedup(spark, sf_dir):
     )
 
 
-_WINNOW_FPTAB_VERSION = 1  # bump when (k, w) or the hash change
+_WINNOW_FPTAB_VERSION = 2  # bump when (k, w) or the hash change
 
 
 def _winnow_fp_table(spark, sf_dir: str) -> str:
@@ -1059,8 +1102,8 @@ def q_order_drop_propagation(spark, sf_dir):
 
 
 def q_top_customers(spark, sf_dir):
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _scan(spark, f"{sf_dir}/customer.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     li = _li(spark, sf_dir)
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1074,7 +1117,7 @@ def q_top_customers(spark, sf_dir):
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _scan(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ in the parquet; measure it against the NTZ
     # epoch with timestampdiff — a pure function of the naive value,
@@ -1482,7 +1525,7 @@ def q_ivf_neardup(spark, sf_dir):
     )
 
 
-_IVF_INDEX_VERSION = 1  # bump when quantizer params change
+_IVF_INDEX_VERSION = 2  # bump when quantizer params change
 
 
 def _ivf_index_path(spark, sf_dir: str) -> str:

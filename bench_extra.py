@@ -1,0 +1,61 @@
+"""Per-query isolation harness (guide §1.4) — NOT the frozen bench.
+
+Times individual declared queries with the same session shape as
+bench.py (local[SPARK_GRAFT_MAX_SLOTS or 8], shuffle_partitions 8*cpus),
+forcing via the same ``_jdf.count()`` the bench uses, after clearing
+caches.  Usage::
+
+    python bench_extra.py [--sf-dir DIR] [--passes N] [--explain] q1 q2 ...
+    python bench_extra.py --list
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0"))
+    ap.add_argument("--passes", type=int, default=1)
+    ap.add_argument("--explain", action="store_true", help="dump explain('formatted') to plans/r06/<q>_extra.txt")
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+    qs = E.queries()
+    if args.list:
+        print("\n".join(qs))
+        return
+
+    from urqt_spark.session import get_spark
+    from urqt_spark.cache import drain_persistent_rdds
+
+    cpus = int(os.environ.get("SPARK_GRAFT_MAX_SLOTS", "8"))
+    spark = get_spark("urqt-bench-extra", master=f"local[{cpus}]", shuffle_partitions=max(8 * cpus, 16))
+    for name in args.names:
+        fn = qs[name]
+        if args.explain:
+            df = fn(spark, args.sf_dir)
+            os.makedirs("plans/r06", exist_ok=True)
+            with open(f"plans/r06/{name}_extra.txt", "w") as fh:
+                fh.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
+        for i in range(args.passes):
+            spark.catalog.clearCache()
+            drain_persistent_rdds(spark)
+            spark.sparkContext.setJobDescription(f"extra:{name}#{i}")
+            t0 = time.time()
+            n = qs[name](spark, args.sf_dir)._jdf.count()
+            dt = time.time() - t0
+            print(f"{name}#{i}: {dt:.2f}s rows={n}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

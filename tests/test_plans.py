@@ -146,15 +146,19 @@ def test_lsh_ann_materialized_once_single_udf(spark):
     banded_plan = _plan(lsh_bucketed(v, dim=8, n_planes=3, n_tables=12))
     assert banded_plan.count("ArrowEvalPython") == 1, banded_plan
     assert "Union" not in banded_plan, "per-table union shape regressed"
-    # persist property: both sides of the candidate self-join read the
-    # cached frame (the executed-plan string prints the cached
-    # relation's definition under each scan, so ArrowEvalPython text
-    # appears per-scan — InMemoryTableScan presence is the executed
-    # evidence that the UDF subtree itself is not re-run)
+    # r6 group-local verify shape: the ONLY exchange before the verify
+    # is the thin (table, bucket) repartition; the vector payload is
+    # attached AFTER it by an explicit broadcast hash join (the vector
+    # table never shuffles), and the per-bucket matmul verify is one
+    # MapInPandas — no pair-stream self-join, no dropDuplicates
+    # exchange over the candidate enumeration
     df = lsh_neardup_pairs(emb, dim=8, threshold=0.9, n_planes=3, n_tables=12)
     df._jdf.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 2, "banded frame not cached on both sides"
+    assert "hashpartitioning(table" in plan, plan
+    assert "BroadcastHashJoin" in plan, "vector attach is not broadcast"
+    assert "MapInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan, "pair-stream join shape regressed"
     spark.catalog.clearCache()
 
 

@@ -224,41 +224,63 @@ def winnow_oracle_sql(docs_rel: str = "documents", k: int = 8, w: int = 4) -> st
 
 def winnow_batch(texts: list, k: int = 8, w: int = 4) -> list[list[int]]:
     """NumPy winnowing — the SAME integer math as :func:`winnow_df`
-    (positional polynomial mod M, rightmost-min window rule), ~30×
-    faster per doc than the pure-Catalyst form (measured 1.3 ms/doc
-    Catalyst vs ~40 µs/doc vectorized): the 100-TB hot path, pinned
-    against the Catalyst form by pytest equivalence.
+    (positional polynomial mod M, rightmost-min window rule): the
+    100-TB hot path, pinned against the Catalyst form by pytest
+    equivalence.
 
-    Returns the distinct selected fingerprint hashes per text, in
-    first-selection order."""
+    r6: vectorized across the WHOLE batch — every doc's codepoints are
+    concatenated and the k-gram hashing, w-window minima and
+    rightmost-min selection run as single flat array passes; windows
+    and grams that straddle a document boundary are sliced away by
+    per-doc offset arithmetic before selection.  The r5 per-doc loop
+    ran ~15 small NumPy calls per document (measured 13 s for a 50k-doc
+    pass at sf1.0 — call overhead, not math).
+
+    Returns the distinct selected fingerprint hashes per text (set
+    semantics; ascending order)."""
     import numpy as np
 
     powers = np.array([pow(WINNOW_B, j, WINNOW_M) for j in range(k)], dtype=np.int64)
-    out: list[list[int]] = []
-    for t in texts:
-        codes = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32).astype(
-            np.int64
-        )
-        n = codes.size
-        if n < k:
-            out.append([])
-            continue
-        win_k = np.lib.stride_tricks.sliding_window_view(codes, k)  # (n_grams, k)
-        grams = (win_k @ powers) % WINNOW_M
-        if grams.size < w:
-            out.append([])
-            continue
-        win_w = np.lib.stride_tricks.sliding_window_view(grams, w)  # (n_wins, w)
-        mins = win_w.min(axis=1, keepdims=True)
-        # rightmost min: first match in the REVERSED window
-        right_off = w - 1 - np.argmax(win_w[:, ::-1] == mins, axis=1)
-        sel = np.arange(len(win_w)) + right_off
-        # distinct positions in first-occurrence order (like array_distinct)
-        _, first_idx = np.unique(sel, return_index=True)
-        sel_u = sel[np.sort(first_idx)]
-        fps = grams[sel_u]
-        _, fi = np.unique(fps, return_index=True)
-        out.append(fps[np.sort(fi)].tolist())
+    R = len(texts)
+    out: list[list[int]] = [[] for _ in range(R)]
+    if R == 0:
+        return out
+    codes_list = [
+        np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        for t in texts
+    ]
+    lens = np.fromiter((c.size for c in codes_list), dtype=np.int64, count=R)
+    # a doc yields selections iff it has at least one w-window of
+    # k-grams: n_grams = n - k + 1 >= w  ⟺  n >= k + w - 1
+    ok = np.nonzero(lens >= (k + w - 1))[0]
+    if ok.size == 0:
+        return out
+    flat = np.concatenate([codes_list[i] for i in ok])
+    L = lens[ok]
+    offs = np.concatenate(([0], np.cumsum(L)))
+    # gram at flat char position j hashes chars[j : j+k]; doc d's valid
+    # grams are flat positions offs[d] .. offs[d] + L[d] - k
+    win_k = np.lib.stride_tricks.sliding_window_view(flat, k)
+    grams_flat = (win_k @ powers) % WINNOW_M
+    # w-window at flat position s covers grams s .. s+w-1; in-doc iff
+    # s in [offs[d], offs[d] + L[d] - (k + w - 1)]
+    win_w = np.lib.stride_tricks.sliding_window_view(grams_flat, w)
+    mins = win_w.min(axis=1)
+    right_off = (w - 1) - np.argmax(win_w[:, ::-1] == mins[:, None], axis=1)
+    sel_flat = np.arange(win_w.shape[0], dtype=np.int64) + right_off
+    n_wins = L - (k + w - 1) + 1
+    doc_of = np.repeat(np.arange(ok.size, dtype=np.int64), n_wins)
+    first_win = np.cumsum(n_wins) - n_wins
+    local = np.arange(int(n_wins.sum()), dtype=np.int64) - np.repeat(first_win, n_wins)
+    valid_s = np.repeat(offs[:-1], n_wins) + local
+    fps_all = grams_flat[sel_flat[valid_s]]
+    # distinct (doc, fp): fp < WINNOW_M < 2^30, so pack into one key
+    uniq = np.unique((doc_of << np.int64(30)) | fps_all)
+    docs_u = uniq >> np.int64(30)
+    fps_u = uniq & np.int64((1 << 30) - 1)
+    bounds = np.searchsorted(docs_u, np.arange(ok.size + 1, dtype=np.int64))
+    for d, i in enumerate(ok):
+        out[i] = fps_u[bounds[d] : bounds[d + 1]].tolist()
     return out
 
 
@@ -332,10 +354,13 @@ def winnow_clone_pairs(
         # ONE bounded driver action does double duty (VERDICT r4
         # what's-wrong #3: the old separate hot.count() was an extra
         # job per call): the collect both logs the drop (no-silent-caps
-        # rule) and — because the hot set is the tiny over-cap tail —
-        # lets the cap become a row-local InSet filter instead of a
-        # broadcast anti-join node in the main plan.  This action also
-        # populates the fps persist, so the self-join reads cache.
+        # rule) and turns the cap into a broadcast anti-join against a
+        # LOCAL relation of the collected hot set — no recompute of the
+        # groupBy on the filter path.  (r6: the r5 ``isin(list)`` form
+        # shipped each element as its own py4j literal — at sf1.0 the
+        # hot tail is ~20k fingerprints and literal conversion alone
+        # cost seconds.)  This action also populates the fps persist,
+        # so the self-join reads cache.
         _MAX_INSET = 100_000
         hot_rows = hot.limit(_MAX_INSET + 1).collect()
         if len(hot_rows) > _MAX_INSET:
@@ -357,7 +382,10 @@ def winnow_clone_pairs(
                 f"fingerprint(s) with doc-frequency > {max_df}",
                 file=sys.stderr,
             )
-            fps = fps.filter(~F.col("fp").isin([r[0] for r in hot_rows]))
+            hot_lr = df.sparkSession.createDataFrame(
+                [(int(r[0]),) for r in hot_rows], "fp bigint"
+            )
+            fps = fps.join(F.broadcast(hot_lr), "fp", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
@@ -515,9 +543,15 @@ def incremental_clone_pairs(
                 f"fingerprint(s) with doc-frequency > {max_df}",
                 file=sys.stderr,
             )
-            hot_set = [r[0] for r in hot_rows]
-            all_fps = all_fps.filter(~F.col("fp").isin(hot_set))
-            new_side = new_fps.filter(~F.col("fp").isin(hot_set))
+            # broadcast anti-join on a LOCAL relation of the collected
+            # hot set (r6): the r5 isin(list) shipped ~20k py4j
+            # literals per filter site at sf1.0 — seconds of pure
+            # plan-construction overhead, twice
+            hot_lr = spark.createDataFrame(
+                [(int(r[0]),) for r in hot_rows], "fp bigint"
+            )
+            all_fps = all_fps.join(F.broadcast(hot_lr), "fp", "left_anti")
+            new_side = new_fps.join(F.broadcast(hot_lr), "fp", "left_anti")
         else:
             new_side = new_fps
     else:

@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 # ---------------------------------------------------------------------------
 # exact
@@ -261,6 +261,95 @@ def make_minhash_udf(num_perm: int = 64, seed: int = 42):
     return minhash_udf
 
 
+def _shingle_hash_sets(texts: list, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct word-``n``-gram shingles of every text, hashed — flat
+    uint64 hash array + per-row counts, one :func:`_batch_hash64` pass.
+    The shingle STRINGS are exactly those of :func:`word_shingles_col`
+    (split on single spaces, ``' '``-joined n-grams, first-occurrence
+    distinct), so hash-level set operations agree with the Catalyst
+    form wherever 64-bit hashes are collision-free."""
+    sh_lists = []
+    for t in texts:
+        w = (t or "").split(" ")
+        if len(w) >= n:
+            sh_lists.append(
+                list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(len(w) - n + 1)))
+            )
+        else:
+            sh_lists.append([])
+    R = len(sh_lists)
+    counts = np.fromiter((len(x) for x in sh_lists), dtype=np.int64, count=R)
+    flat = [s for row in sh_lists for s in row]
+    return _batch_hash64(flat), counts
+
+
+def make_minhash_sig_hashes_udf(
+    n: int = 3, num_perm: int = 64, bands: int = 32, seed: int = 42
+):
+    """ONE Arrow crossing for the whole MinHash-LSH pipeline: text →
+    (band bucket ids, distinct shingle hashes, n_sh).
+
+    The r5 shape computed word shingles in Catalyst (an interpreted
+    HOF chain — measured 23 s serial for 50k docs), ran the minhash
+    UDF over the string arrays, and then RECOMPUTED the shingles twice
+    more for the two verify-side joins; the exact-Jaccard verify
+    intersected string arrays.  Here shingling, hashing, minhash and
+    banding happen in one vectorized pass, and the verify intersects
+    the 8-byte hash sets instead of the strings (same counts wherever
+    the 64-bit hashes are collision-free — oracle-verified on the gate
+    data).  Bucket ids are a deterministic mix of each band's
+    signature rows; equal band signatures always produce equal buckets,
+    so LSH recall is unchanged (hash aliasing can only ADD candidates,
+    which the exact verify then rejects on merit).
+    """
+    rows = num_perm // bands
+    rng = np.random.default_rng(seed)
+    seeds = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("bands", ArrayType(LongType())),
+                StructField("hashes", ArrayType(LongType())),
+                StructField("n_sh", LongType()),
+            ]
+        )
+    )
+    def sig_hashes_udf(texts: pd.Series) -> pd.DataFrame:
+        R = len(texts)
+        if R == 0:
+            return pd.DataFrame({"bands": [], "hashes": [], "n_sh": []})
+        x, counts = _shingle_hash_sets(list(texts), n)
+        S = int(counts.sum())
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        mins = np.empty((num_perm, R), dtype=np.uint64)
+        if S:
+            buf = np.empty(S + 1, dtype=np.uint64)
+            buf[S] = np.iinfo(np.uint64).max
+            for j in range(num_perm):
+                buf[:S] = _mix64(x ^ seeds[j])
+                mins[j] = np.minimum.reduceat(buf, starts)
+        sig = np.ascontiguousarray(mins.T)  # (R, P)
+        sig[counts == 0] = np.uint64(0)
+        # per-band bucket: splitmix chain over the band's signature rows
+        sigb = sig.reshape(R, bands, rows)
+        acc = np.zeros((R, bands), dtype=np.uint64)
+        for r in range(rows):
+            acc = _mix64(acc ^ sigb[:, :, r] ^ (np.uint64(r + 1) * _GOLD))
+        hx = x.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "bands": list(acc.astype(np.int64)),
+                "hashes": [
+                    hx[starts[i] : starts[i] + counts[i]] for i in range(R)
+                ],
+                "n_sh": counts,
+            }
+        )
+
+    return sig_hashes_udf
+
+
 def minhash_banded(
     sh: DataFrame, num_perm: int = 64, bands: int = 32, seed: int = 42
 ) -> DataFrame:
@@ -311,24 +400,41 @@ def minhash_lsh_pairs(
     oracle at sf0.01).
 
     Exchange hygiene (100-TB rule): the banded/exploded frame carries
-    ONLY (id, band, bucket) — never the shingle arrays (×bands payload
-    amplification through the shuffle); shingles are joined back for
-    the exact verify of the (few) candidates."""
+    ONLY (id, band, bucket) — never the shingle payload (×bands
+    amplification through the shuffle); shingle HASH sets are joined
+    back for the exact verify of the (few) candidates.
+
+    r6 rewrite (guide §4.1/§2.3): shingling + hashing + minhash +
+    banding fused into ONE Arrow crossing
+    (:func:`make_minhash_sig_hashes_udf` — the r5 Catalyst shingle
+    HOF ran interpreted, three times: once under the UDF and once per
+    verify side), and the exact-Jaccard verify intersects the 8-byte
+    distinct shingle hashes instead of the shingle strings — identical
+    counts wherever the 64-bit hashes are collision-free, which the
+    oracle checks value-for-value on the gate data."""
     from pyspark.storagelevel import StorageLevel
 
-    sh = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        word_shingles_col(text_col, n).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-    # materialize the (tiny, 3-longs-per-row) banded frame ONCE: both
-    # sides of the self-join otherwise recompute the signature UDF
-    # (exchange reuse does not fire across Python-UDF subplans —
-    # measured 2 ArrowEvalPython executions, ~2x the UDF cost).  At
-    # 10^12-file scale the same step is a signature TABLE write; here
-    # MEMORY_AND_DISK is its in-session form.
-    banded = minhash_banded(sh, num_perm=num_perm, bands=bands, seed=seed).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # materialize the fused UDF output ONCE: both the banded explode
+    # and the two verify sides read this frame (exchange reuse does
+    # not fire across Python-UDF subplans).  At 10^12-file scale the
+    # same step is a signature TABLE write; here MEMORY_AND_DISK is
+    # its in-session form.
+    sigsh = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            make_minhash_sig_hashes_udf(n, num_perm, bands, seed)(
+                F.col(text_col)
+            ).alias("s"),
+        )
+        .select(
+            "id",
+            F.col("s.bands").alias("bands"),
+            F.col("s.hashes").alias("hashes"),
+            F.col("s.n_sh").alias("n_sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    banded = sigsh.select("id", F.posexplode("bands").alias("band", "bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -340,12 +446,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    pay = sh.select("id", "shingles", "n_sh")
+    pay = sigsh.select("id", "hashes", "n_sh")
     cand = (
         cand.join(
             pay.select(
                 F.col("id").alias("id_a"),
-                F.col("shingles").alias("sh_a"),
+                F.col("hashes").alias("sh_a"),
                 F.col("n_sh").alias("n_a"),
             ),
             "id_a",
@@ -353,7 +459,7 @@ def minhash_lsh_pairs(
         .join(
             pay.select(
                 F.col("id").alias("id_b"),
-                F.col("shingles").alias("sh_b"),
+                F.col("hashes").alias("sh_b"),
                 F.col("n_sh").alias("n_b"),
             ),
             "id_b",
@@ -724,9 +830,27 @@ def incremental_minhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # shingle payload only for candidate ids, from whichever side owns
-    # the doc (corpus re-shingling is Catalyst-only, behind the join)
-    pay = _shingled(corpus_df, text_col, id_col, n).unionByName(new_sh)
+    # shingle payload ONLY for candidate ids: an explicit broadcast
+    # LEFT SEMI join on the distinct candidate ids prunes the corpus
+    # scan BEFORE the shingle projection runs (VERDICT r5 #1 — without
+    # it Catalyst evaluates the shingle HOF on every corpus row per
+    # ingestion batch; a full-corpus tokenize pass at 100 TB).  cand
+    # is persisted because it feeds both the id set and the pair list.
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("cid")).distinct()
+    )
+    src = corpus_df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).unionByName(
+        new_df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+    )
+    pay = _shingled(
+        src.join(F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"),
+        text_col,
+        id_col,
+        n,
+    )
     cand = cand.join(
         pay.select(
             F.col("id").alias("id_a"),
@@ -964,12 +1088,21 @@ def simhash_neardup_pairs(
     ham = F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo"))) + F.bit_count(
         F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi"))
     )
+    # the Hamming predicate lives IN the join condition: candidate
+    # enumeration (hot (chunk, val) buckets are quadratic — 132M
+    # candidates at 50k docs on clustered fingerprints) then happens
+    # entirely inside the join operator's codegen, and only verified
+    # pairs reach the dropDuplicates EXCHANGE.  hamming is a pure
+    # function of (id_a, id_b) fingerprints, so filtering before the
+    # per-pair dedup is result-identical to filtering after (the r5
+    # order shuffled every candidate: 276 s at sf1.0).
     return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (ham <= max_hamming),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -977,7 +1110,6 @@ def simhash_neardup_pairs(
             ham.cast("int").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -1096,7 +1228,14 @@ def incremental_simhash_pairs(
             F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"),
         )
 
-    a, b = chunked(all_fp).alias("a"), chunked(new_fp).alias("b")
+    # the new-batch side is |batch| × n_chunks rows of three longs —
+    # broadcast it EXPLICITLY so the 10^12-row index side is a
+    # streamed probe by construction (VERDICT r5 #2: relying on AQE
+    # here would shuffle the index's 9-chunk explode), and keep the
+    # Hamming predicate IN the join so only verified pairs reach the
+    # dropDuplicates exchange (hot chunk buckets enumerate quadratic
+    # candidates; see simhash_neardup_pairs).
+    a, b = chunked(all_fp).alias("a"), F.broadcast(chunked(new_fp)).alias("b")
     ham = F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo"))) + F.bit_count(
         F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi"))
     )
@@ -1105,7 +1244,8 @@ def incremental_simhash_pairs(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") != F.col("b.id")),
+            & (F.col("a.id") != F.col("b.id"))
+            & (ham <= max_hamming),
         )
         .select(
             F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
@@ -1113,7 +1253,6 @@ def incremental_simhash_pairs(
             ham.cast("int").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -220,51 +220,74 @@ def lsh_neardup_pairs(
     re-run the UDF (the same double-execution measured for minhash,
     dedup.py).  Callers own cache release (see winnow_clone_pairs'
     lifecycle note)."""
-    from pyspark.storagelevel import StorageLevel
-
     v = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     banded = lsh_bucketed(v, dim, n_planes=n_planes, n_tables=n_tables)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # norms folded ONCE per vector, not once per candidate pair: at a
-    # low threshold the candidate set is ~quadratic (all-pairs on this
-    # gate config), and re-folding ||v|| per pair made the interpreted
-    # HOF norm the dominant cost (2 of 3 folds per pair).  The persist
-    # pins the per-row computation — projection collapse would
-    # otherwise inline the fold back into the join output.  Values are
-    # bit-identical: same fold over the same vector.
-    vn = v.withColumn("nrm", _norm(F.col("v"))).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    cand = cand.join(
-        vn.select(
-            F.col("id").alias("id_a"), F.col("v").alias("va"),
-            F.col("nrm").alias("na"),
-        ),
-        "id_a",
-    ).join(
-        vn.select(
-            F.col("id").alias("id_b"), F.col("v").alias("vb"),
-            F.col("nrm").alias("nb"),
-        ),
-        "id_b",
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # GROUP-LOCAL verify (r6 rewrite — guide §2.3/§8).  The r5 shape
+    # (thin self-join → dropDuplicates → two id-joins → interpreted
+    # HOF cosine per pair) enumerates every same-bucket pair through
+    # THREE exchanges; at a low threshold candidate density is
+    # ~quadratic (the gate's threshold-0.4 data: ~200M enumerations at
+    # 20k vectors / 256 tables), so the pair stream itself is the
+    # dominant shuffle.  Instead: shuffle ONLY the thin (id, table,
+    # bucket) rows, attach each vector AFTER that exchange with an
+    # explicit broadcast hash join (the vector table never shuffles),
+    # and verify each (table, bucket) group locally in one mapInPandas
+    # — a per-group BLAS matmul, ~64 flops/candidate instead of an
+    # interpreted 64-element fold, with only threshold survivors ever
+    # leaving the task.  Duplicate pairs across tables carry the
+    # identical cosine, so the final dropDuplicates sees survivors
+    # only.  Rounding/filtering stay in Catalyst (same F.round
+    # semantics as before); the UDF pre-filter keeps a 1e-4 margin
+    # below the threshold so the rounded filter is the deciding one.
+    vn = v.withColumn("nrm", _norm(F.col("v")))
+    margin = threshold - 1e-4
+
+    def _verify(batches):
+        import pandas as pd
+
+        rows = [b for b in batches]
+        if not rows:
+            return
+        part = pd.concat(rows, ignore_index=True)
+        if part.empty:
+            return
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in part["v"]])
+        nrm = part["nrm"].to_numpy()
+        ids = part["id"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for _, idx in part.groupby(["table", "bucket"], sort=False).indices.items():
+            if len(idx) < 2:
+                continue
+            Vi, ni, ii = V[idx], nrm[idx], ids[idx]
+            C = (Vi @ Vi.T) / np.outer(ni, ni)
+            iu, ju = np.triu_indices(len(idx), k=1)
+            m = C[iu, ju] >= margin
+            if not m.any():
+                continue
+            ia, ib = ii[iu[m]], ii[ju[m]]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_c.append(C[iu[m], ju[m]])
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cos_raw": np.concatenate(out_c),
+                }
+            )
+
+    grouped = banded.repartition("table", "bucket").join(F.broadcast(vn), "id")
+    survivors = grouped.mapInPandas(
+        _verify, "id_a long, id_b long, cos_raw double"
+    ).dropDuplicates(["id_a", "id_b"])
     return (
-        cand.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        survivors.select(
+            "id_a", "id_b", F.round(F.col("cos_raw"), 4).alias("cosine")
+        ).filter(F.col("cosine") >= threshold)
     )
 
 
