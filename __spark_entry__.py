@@ -740,7 +740,7 @@ def q_fuzzy_dedup_resolve(spark, sf_dir):
     )
 
 
-_SIGTAB_VERSION = 2  # bump when shingle/minhash/banding params change
+_SIGTAB_VERSION = 3  # bump when shingle/minhash/banding params change
 
 
 def _minhash_sig_table(spark, sf_dir: str) -> str:

@@ -572,9 +572,15 @@ def test_incremental_minhash_uses_persisted_signatures(spark, tmp_path):
     # the corpus enters solely as the signature-table parquet scan
     assert _live_udf_nodes(plan) == 0, plan
     assert plan.count("InMemoryTableScan") >= 2
-    # the plan string abbreviates file paths; the parquet FileScan is
-    # the signature table (the only file-based input in this query)
+    # the plan string abbreviates file paths; the parquet FileScans are
+    # the two index side tables (the only file-based inputs — r6: the
+    # corpus text is NEVER read; the verify intersects the PERSISTED
+    # shingle-hash sets)
     assert "FileScan parquet" in plan, "persisted signature table not scanned"
+    # VERDICT r5 #1 plan pin: the payload scan sits behind a broadcast
+    # LEFT SEMI join on the candidate ids
+    assert "LeftSemi" in plan, "candidate-id semi-join prune missing"
+    assert "BroadcastHashJoin" in plan, plan
 
     # ground truth: full recompute over the union, restricted to
     # pairs involving a new-batch id

