@@ -1011,7 +1011,8 @@ def q_lsh_ann_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").head()[0])
     return lsh_neardup_pairs(
-        emb, dim=dim, threshold=0.4, n_planes=n_planes, n_tables=n_tables
+        emb, dim=dim, threshold=0.4, n_planes=n_planes, n_tables=n_tables,
+        payload_path=f"{sf_dir}/embeddings.parquet",
     )
 
 

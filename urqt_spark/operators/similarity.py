@@ -199,6 +199,7 @@ def lsh_neardup_pairs(
     n_tables: int = 24,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    payload_path: str | None = None,
 ) -> DataFrame:
     """ANN near-dup pairs: ``n_tables`` independent hyperplane tables;
     same-bucket candidates in any table are verified with exact cosine.
@@ -242,21 +243,9 @@ def lsh_neardup_pairs(
     # only.  Rounding/filtering stay in Catalyst (same F.round
     # semantics as before); the UDF pre-filter keeps a 1e-4 margin
     # below the threshold so the rounded filter is the deciding one.
-    vn = v.withColumn("nrm", _norm(F.col("v")))
     margin = threshold - 1e-4
 
-    def _verify(batches):
-        import pandas as pd
-
-        rows = [b for b in batches]
-        if not rows:
-            return
-        part = pd.concat(rows, ignore_index=True)
-        if part.empty:
-            return
-        V = np.stack([np.asarray(x, dtype=np.float64) for x in part["v"]])
-        nrm = part["nrm"].to_numpy()
-        ids = part["id"].to_numpy()
+    def _group_pairs(part, V, nrm, ids):
         out_a, out_b, out_c = [], [], []
         for _, idx in part.groupby(["table", "bucket"], sort=False).indices.items():
             if len(idx) < 2:
@@ -271,18 +260,84 @@ def lsh_neardup_pairs(
             out_a.append(np.minimum(ia, ib))
             out_b.append(np.maximum(ia, ib))
             out_c.append(C[iu[m], ju[m]])
-        if out_a:
-            yield pd.DataFrame(
-                {
-                    "id_a": np.concatenate(out_a),
-                    "id_b": np.concatenate(out_b),
-                    "cos_raw": np.concatenate(out_c),
-                }
-            )
+        if not out_a:
+            return None
+        import pandas as pd
 
-    grouped = banded.repartition("table", "bucket").join(F.broadcast(vn), "id")
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    if payload_path is not None:
+        # guide §8 "co-locate instead of join": each verify task reads
+        # the vector payload it needs straight from the columnstore
+        # (once per task, before the batch loop — §4.5) instead of the
+        # payload riding the ×n_tables exploded stream through the
+        # Arrow channel.  The stream stays (id, table, bucket) — three
+        # longs per row; at 20k vectors / 256 tables that cut the
+        # JVM→Python transfer from ~2.8 GB to ~120 MB.  At corpus
+        # sizes where one file cannot hold the vectors the same
+        # pattern reads the task's id range via column-store predicate
+        # pushdown.
+        def _verify_from_path(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            rows = [b for b in batches]
+            if not rows or all(b.empty for b in rows):
+                return
+            part = pd.concat(rows, ignore_index=True)
+            tbl = pq.read_table(payload_path, columns=[id_col, vec_col])
+            file_ids = tbl[id_col].to_numpy().astype(np.int64)
+            la = tbl[vec_col].combine_chunks()
+            if hasattr(la, "chunk"):
+                la = la.chunk(0)
+            V_all = np.asarray(la.values, dtype=np.float64).reshape(
+                len(file_ids), -1
+            )
+            nrm_all = np.sqrt((V_all * V_all).sum(axis=1))
+            order = np.argsort(file_ids)
+            pos = order[
+                np.searchsorted(file_ids, part["id"].to_numpy(), sorter=order)
+            ]
+            out = _group_pairs(
+                part, V_all[pos], nrm_all[pos], part["id"].to_numpy()
+            )
+            if out is not None:
+                yield out
+
+        grouped = banded.repartition("table", "bucket")
+        verify = _verify_from_path
+    else:
+        # DataFrame-only caller: attach each vector AFTER the thin
+        # exchange with an explicit broadcast hash join (the vector
+        # table never shuffles); norms are folded once per vector in
+        # Catalyst, exactly as r5 did.
+        vn = v.withColumn("nrm", _norm(F.col("v")))
+
+        def _verify_bcast(batches):
+            import pandas as pd
+
+            rows = [b for b in batches]
+            if not rows or all(b.empty for b in rows):
+                return
+            part = pd.concat(rows, ignore_index=True)
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in part["v"]])
+            out = _group_pairs(
+                part, V, part["nrm"].to_numpy(), part["id"].to_numpy()
+            )
+            if out is not None:
+                yield out
+
+        grouped = banded.repartition("table", "bucket").join(F.broadcast(vn), "id")
+        verify = _verify_bcast
+
     survivors = grouped.mapInPandas(
-        _verify, "id_a long, id_b long, cos_raw double"
+        verify, "id_a long, id_b long, cos_raw double"
     ).dropDuplicates(["id_a", "id_b"])
     return (
         survivors.select(
