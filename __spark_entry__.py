@@ -72,7 +72,7 @@ _LANG_MARKERS = {
 _MARKER_ORDER = ["en", "es", "de", "fr", "zh"]  # fixed argmax tie order
 
 
-def _scan(spark, path):
+def _scan(spark, path, min_repart_bytes=2 << 20):
     """Scale-adaptive parallel scan of one driver parquet file
     (optimization guide §2.5 "input skew" / §6 input splits).
 
@@ -91,6 +91,16 @@ def _scan(spark, path):
       payload crossing this exchange is the small file itself; at
       production scale row groups are abundant and this branch never
       fires.
+
+    ``min_repart_bytes`` keeps the exchange away from small files: the
+    bench forces queries with count(), which prunes row-local
+    projections down to a near-free scan — an unconditional
+    repartition would ADD an exchange to those.  The threshold is
+    per-table-family (entry loaders): documents/embeddings feed
+    UDF-heavy operators where serial scans dominate immediately
+    (2 MiB), while the relational tables feed aggregations whose
+    map side is cheap per byte — there the shuffle only pays for
+    itself on larger inputs (16 MiB).
     """
     import pyarrow.parquet as pq
 
@@ -100,12 +110,7 @@ def _scan(spark, path):
         meta = pq.ParquetFile(path).metadata
     except Exception:  # directory input → already multi-file
         return df
-    if meta.num_rows < 4096 or os.path.getsize(path) < (4 << 20):
-        # small table: the bench forces queries with count(), which
-        # prunes row-local projections down to a near-free scan — an
-        # unconditional repartition would ADD an exchange to those.
-        # Below ~4 MiB the serial-scan penalty for the heavy operators
-        # is smaller than the exchange overhead for the light ones.
+    if meta.num_rows < 4096 or os.path.getsize(path) < min_repart_bytes:
         return df
     if meta.num_row_groups >= max(slots // 2, 2):
         size = os.path.getsize(path)
@@ -119,12 +124,21 @@ def _docs(spark, sf_dir):
     return _scan(spark, f"{sf_dir}/documents.parquet")
 
 
-def _emb(spark, sf_dir):
-    return _scan(spark, f"{sf_dir}/embeddings.parquet")
+def _emb(spark, sf_dir, parallel=False):
+    # per-consumer scan policy: the full-corpus UDF/verify consumers
+    # (lsh_ann, semantic_dedup, ivf_neardup) want the parallel scan;
+    # the incremental path's only UDF is the small derived batch, so
+    # for it the repartition exchange is pure overhead (measured
+    # 4.7 s vs 3.4 s at sf1.0)
+    return _scan(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        min_repart_bytes=(2 << 20) if parallel else (1 << 60),
+    )
 
 
 def _li(spark, sf_dir):
-    return _scan(spark, f"{sf_dir}/lineitem.parquet")
+    return _scan(spark, f"{sf_dir}/lineitem.parquet", min_repart_bytes=16 << 20)
 
 
 # ---------------------------------------------------------------------------
@@ -1008,7 +1022,7 @@ def q_lsh_ann_pairs(spark, sf_dir):
 
     n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     n_planes, n_tables = auto_lsh_params(n_rows, threshold=0.4)
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, parallel=True)
     dim = len(emb.select("embedding").head()[0])
     return lsh_neardup_pairs(
         emb, dim=dim, threshold=0.4, n_planes=n_planes, n_tables=n_tables,
@@ -1103,8 +1117,8 @@ def q_order_drop_propagation(spark, sf_dir):
 
 
 def q_top_customers(spark, sf_dir):
-    cust = _scan(spark, f"{sf_dir}/customer.parquet")
-    orders = _scan(spark, f"{sf_dir}/orders.parquet")
+    cust = _scan(spark, f"{sf_dir}/customer.parquet", min_repart_bytes=16 << 20)
+    orders = _scan(spark, f"{sf_dir}/orders.parquet", min_repart_bytes=16 << 20)
     li = _li(spark, sf_dir)
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1118,7 +1132,7 @@ def q_top_customers(spark, sf_dir):
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = _scan(spark, f"{sf_dir}/events.parquet")
+    ev = _scan(spark, f"{sf_dir}/events.parquet", min_repart_bytes=8 << 20)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ in the parquet; measure it against the NTZ
     # epoch with timestampdiff — a pure function of the naive value,
@@ -1518,7 +1532,7 @@ def q_ivf_neardup(spark, sf_dir):
 
     cents, _ = _ivf_parts(sf_dir)
     return ivf_neardup_pairs(
-        _emb(spark, sf_dir),
+        _emb(spark, sf_dir, parallel=True),
         cents,
         threshold=IVF_ND_THRESHOLD,
         assign=IVF_ND_ASSIGN,
@@ -1596,7 +1610,7 @@ def q_semantic_dedup(spark, sf_dir):
     from urqt_spark.operators.similarity import ivf_neardup_pairs
 
     cents, _ = _ivf_parts(sf_dir)
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, parallel=True)
     pairs = ivf_neardup_pairs(
         emb,
         cents,
