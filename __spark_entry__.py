@@ -794,15 +794,41 @@ def q_incremental_minhash_dedup(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     sig_path = _minhash_sig_table(spark, sf_dir)
-    newb = _derived_new_batch(d, mod=20, shift=100000)
+    newb = _derived_new_batch(d, mod=20, shift=100000, sf_dir=sf_dir)
     return incremental_minhash_pairs(spark, newb, sig_path, d, threshold=0.5)
 
 
-def _derived_new_batch(d, mod: int, shift: int):
+def _max_doc_id(sf_dir: str) -> int:
+    """Max doc_id of the sf_dir documents corpus from parquet column
+    STATISTICS — metadata only, no Spark job."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    idx = pf.schema_arrow.get_field_index("doc_id")
+    return max(
+        pf.metadata.row_group(g).column(idx).statistics.max
+        for g in range(pf.metadata.num_row_groups)
+    )
+
+
+def _derived_new_batch(d, mod: int, shift: int, sf_dir: str | None = None):
     """Deterministic ingestion batch derived from the corpus: every
     ``mod``-th doc copied verbatim under a shifted id (exact dups by
     construction) + every (mod·k + mod/2)-th doc with its first word
-    dropped (near dups by construction)."""
+    dropped (near dups by construction).
+
+    ``sf_dir`` arms the id-headroom guard (ADVICE r5): at a larger
+    scale factor corpus ids could overlap the shifted batch ids,
+    producing semantically wrong pairs the gate cannot catch because
+    the oracle replicates the same construction — fail loudly instead
+    (cheap: parquet column statistics, no job)."""
+    if sf_dir is not None:
+        top = _max_doc_id(sf_dir)
+        if top >= shift:
+            raise ValueError(
+                f"derived-batch id shift {shift} overlaps corpus ids "
+                f"(max doc_id {top} in {sf_dir}); raise the shift"
+            )
     words = F.split(F.col("text"), " ")
     dropped = F.concat_ws(
         " ", F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
@@ -856,7 +882,7 @@ def q_incremental_exact_dedup(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     sha_path = _exact_sha_table(spark, sf_dir)
-    newb = _derived_new_batch(d, mod=15, shift=300000)
+    newb = _derived_new_batch(d, mod=15, shift=300000, sf_dir=sf_dir)
     out = incremental_exact_dedup(spark, newb, sha_path)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -903,7 +929,7 @@ def q_incremental_simhash_dedup(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     sig_path = _simhash_sig_table(spark, sf_dir)
-    newb = _derived_new_batch(d, mod=25, shift=200000)
+    newb = _derived_new_batch(d, mod=25, shift=200000, sf_dir=sf_dir)
     return incremental_simhash_pairs(
         spark, newb, sig_path, max_hamming=8, n_bits=128
     )
@@ -946,7 +972,7 @@ def q_incremental_clone_pairs(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     fp_path = _winnow_fp_table(spark, sf_dir)
-    newb = _derived_new_batch(d, mod=20, shift=100000)
+    newb = _derived_new_batch(d, mod=20, shift=100000, sf_dir=sf_dir)
     return incremental_clone_pairs(
         spark, newb, fp_path, k=WCP_K, w=WCP_W, min_shared=WCP_MIN,
         max_df=WCP_MAX_DF,

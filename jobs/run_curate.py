@@ -181,6 +181,13 @@ def _check_resume_config(args) -> None:
 
 
 def run(spark, args) -> dict:
+    """Run the curation funnel.
+
+    WARNING (ADVICE r5): the run is wrapped in ``cache_drained``,
+    which on exit clears the SESSION-WIDE cache (``catalog.clearCache``
+    + all persistent RDDs) — a library caller embedding this in a
+    larger session loses its own persisted frames.  Run it in its own
+    session, or re-persist afterwards."""
     from urqt_spark.cache import cache_drained
 
     # structural cache release (VERDICT r4 next #6): the funnel and

@@ -126,3 +126,18 @@ def test_curate_split_tokens_stage(spark, tmp_path):
     assert (got["doc_id"] // _CHUNK_STRIDE < 10).all()
     assert got["doc_id"].is_unique
     assert {"lang", "pack_id", "pack_pos"} <= set(got.columns)
+
+
+def test_split_long_documents_rejects_colliding_columns(spark):
+    """ADVICE r5: re-curating a prior curate/pack output (which emits
+    n_tokens) must fail with a CLEAR error, not an ambiguous-column
+    AnalysisException from deep inside the operator."""
+    import pytest
+
+    from urqt_spark.operators.packing import split_long_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", 4)], ["doc_id", "text", "n_tokens"]
+    )
+    with pytest.raises(ValueError, match="n_tokens"):
+        split_long_documents(df, max_tokens=2, passthrough=True)

@@ -1377,7 +1377,14 @@ def incremental_exact_dedup(
     (1) membership probe: index ⋈ broadcast(batch shas) → the hit set
     (≤ |batch| rows); (2) survivors: batch anti-join broadcast(hits).
     The batch payload never shuffles; the index never broadcasts; no
-    UDF (sha2 is JVM whole-stage codegen)."""
+    UDF (sha2 is JVM whole-stage codegen).
+
+    PRECONDITION (ADVICE r5): batch ids must be unique — the final
+    survivor selection is a semi-join on id value alone, so a batch
+    where two rows share an id (or a dup-content row's id equals a
+    fresh row's keep_id) would silently keep wrong rows.  All entry
+    batches derive ids injectively; assert uniqueness upstream if your
+    source cannot guarantee it."""
     new_sha = new_df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.sha2(F.col(text_col), 256).alias("_sha"),

@@ -153,6 +153,17 @@ def split_long_documents(
 
     if passthrough:
         base = [c for c in df.columns if c != text_col]
+        # an input already carrying an output column name (e.g.
+        # re-curating a prior curate/pack output, which emits
+        # n_tokens) would otherwise raise an ambiguous-column
+        # AnalysisException deep inside the final select (ADVICE r5)
+        clash = {"n_tokens", "chunk_idx", "chunk_text", "n_chunk_tokens"} & set(base)
+        if clash:
+            raise ValueError(
+                f"split_long_documents(passthrough=True): input column(s) "
+                f"{sorted(clash)} collide with the operator's output "
+                f"columns; drop or rename them first"
+            )
         sel = [F.col(c) for c in base]
     else:
         base = [id_col]
