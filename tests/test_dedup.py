@@ -960,3 +960,78 @@ def test_incremental_ivf_neardup_uses_persisted_index(spark, tmp_path):
     }
     assert got == full
     spark.catalog.clearCache()
+
+
+def test_fused_minhash_udf_matches_catalyst_shingles(spark):
+    """r6 fused UDF contract: the Python-side shingle strings, their
+    hash sets and the minhash signature minima must agree with the
+    Catalyst word_shingles_col + _batch_hash64 path — the equivalence
+    that lets the exact-Jaccard verify run on 8-byte hash sets."""
+    import numpy as np
+
+    from urqt_spark.operators.dedup import (
+        _batch_hash64,
+        make_minhash_sig_hashes_udf,
+        word_shingles_col,
+    )
+
+    texts = [
+        "a b c d e f g",
+        "a b c a b c a b c",
+        "",
+        "one",
+        "two words",
+        "x  y   z double  spaces",
+        "ünïcødé tēxt with ßpecial chars and more words here",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", make_minhash_sig_hashes_udf()(F.col("text")).alias("s")
+        ).collect()
+    }
+    cat = {
+        r.doc_id: r.shingles
+        for r in docs.select(
+            "doc_id", word_shingles_col("text", 3).alias("shingles")
+        ).collect()
+    }
+    for i, text in enumerate(texts):
+        sh = cat[i]
+        assert got[i].n_sh == len(sh), (i, text)
+        want_hashes = set(
+            int(h) for h in _batch_hash64(list(sh)).astype(np.int64)
+        )
+        assert set(got[i].hashes) == want_hashes, (i, text)
+        assert len(got[i].bands) == 32
+
+
+def test_lsh_payload_path_matches_broadcast_attach(spark, tmp_path):
+    """r6: the per-task columnstore payload read (guide §8 co-locate)
+    must produce exactly the rows the DataFrame broadcast-attach path
+    produces."""
+    import pandas as pd
+
+    from urqt_spark.operators.similarity import lsh_neardup_pairs
+
+    rows = [
+        (i, [float((i * 13 + j * 7) % 23) / 23.0 - 0.5 for j in range(8)])
+        for i in range(60)
+    ]
+    p = str(tmp_path / "emb.parquet")
+    pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+    ).to_parquet(p, index=False)
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(dim=8, threshold=0.6, n_planes=3, n_tables=12)
+    a = {
+        (r.id_a, r.id_b): r.cosine
+        for r in lsh_neardup_pairs(emb, **kw).collect()
+    }
+    b = {
+        (r.id_a, r.id_b): r.cosine
+        for r in lsh_neardup_pairs(emb, payload_path=p, **kw).collect()
+    }
+    assert a == b and len(a) > 0
+    spark.catalog.clearCache()

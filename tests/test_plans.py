@@ -182,3 +182,54 @@ def test_set_balanced_scan_splits(spark, tmp_path):
     f = str(tmp_path / "one.parquet")
     pd.DataFrame({"x": range(10)}).to_parquet(f)
     assert set_balanced_scan_splits(spark, f, slots=2) == 1 << 20
+
+
+def test_scan_parallelism_policy(spark, tmp_path):
+    """r6 scan policy (`__spark_entry__._scan`): single-row-group files
+    big enough to matter are repartitioned after the read (parquet
+    byte splits cannot cut inside a row group); small files are left
+    alone (no exchange added to count()-pruned plans); multi-row-group
+    files get row-group-sized splits via conf, no exchange."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    import random
+
+    slots = spark.sparkContext.defaultParallelism
+    rng = random.Random(7)
+    # ~4 MB single-row-group file (above the 2 MiB docs threshold);
+    # random hex defeats dictionary/RLE encoding
+    big1 = str(tmp_path / "big1.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": range(30_000),
+            "text": ["%0140x" % rng.getrandbits(560) for _ in range(30_000)],
+        }
+    ).to_parquet(big1, index=False, compression=None, row_group_size=10**6)
+    df = E._scan(spark, big1)
+    assert df.rdd.getNumPartitions() == 2 * slots
+    assert "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+    # small file: untouched plan, no exchange
+    small = str(tmp_path / "small.parquet")
+    pd.DataFrame({"doc_id": range(5000), "text": ["y" * 20] * 5000}).to_parquet(
+        small, index=False
+    )
+    df_s = E._scan(spark, small)
+    assert "Exchange" not in df_s._jdf.queryExecution().executedPlan().toString()
+    # many row groups: conf-sized splits, no exchange
+    many = str(tmp_path / "many.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": range(40_000),
+            "text": ["%0120x" % rng.getrandbits(480) for _ in range(40_000)],
+        }
+    ).to_parquet(many, index=False, compression=None, row_group_size=2_000)
+    df_m = E._scan(spark, many)
+    assert "Exchange" not in df_m._jdf.queryExecution().executedPlan().toString()
+    import os
+
+    assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) <= max(
+        os.path.getsize(many) // 10, 1 << 20
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
