@@ -1,0 +1,58 @@
+"""Compare query outputs between two repo checkouts at a given SF.
+Usage: python cmp_outputs.py <repoA> <repoB> <sf_dir> q1 q2 ...
+Prints per-query: rows + sha256 of canonically-sorted output for each repo.
+Runs each repo in a SUBPROCESS so imports don't collide.
+"""
+import hashlib
+import json
+import subprocess
+import sys
+
+WORKER = r'''
+import sys, os, json, hashlib
+repo, sf_dir = sys.argv[1], sys.argv[2]
+names = sys.argv[3:]
+sys.path.insert(0, repo)
+os.chdir(repo)
+import __spark_entry__ as E
+from urqt_spark.session import get_spark
+from urqt_spark.cache import drain_persistent_rdds
+spark = get_spark("cmp", master="local[8]", shuffle_partitions=64)
+qs = E.queries()
+out = {}
+for n in names:
+    spark.catalog.clearCache(); drain_persistent_rdds(spark)
+    df = qs[n](spark, sf_dir)
+    pdf = df.toPandas()
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    h = hashlib.sha256(pdf.to_csv(index=False).encode()).hexdigest()[:16]
+    out[n] = {"rows": len(pdf), "sha": h}
+    print("DONE", n, json.dumps(out[n]), flush=True)
+spark.stop()
+print("RESULT " + json.dumps(out))
+'''
+
+repoA, repoB, sf_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+names = sys.argv[4:]
+res = {}
+for repo in (repoA, repoB):
+    p = subprocess.run(
+        [sys.executable, "-c", WORKER, repo, sf_dir] + names,
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+    if not line:
+        print(f"repo {repo} FAILED:\n{p.stdout[-2000:]}\n{p.stderr[-3000:]}")
+        sys.exit(1)
+    res[repo] = json.loads(line[0][7:])
+ok = True
+for n in names:
+    a, b = res[repoA][n], res[repoB][n]
+    match = a == b
+    ok &= match
+    print(f"{n}: {'MATCH' if match else 'MISMATCH'} A={a} B={b}")
+sys.exit(0 if ok else 2)
