@@ -120,8 +120,16 @@ def _scan(spark, path, min_repart_bytes=2 << 20):
     return df.repartition(2 * slots)
 
 
-def _docs(spark, sf_dir):
-    return _scan(spark, f"{sf_dir}/documents.parquet")
+def _docs(spark, sf_dir, parallel=True):
+    # per-consumer scan policy (see _emb): the one r5-benched consumer
+    # whose whole job is a single cheap JVM pass (exact_dedup's sha
+    # groupBy) measures faster WITHOUT the repartition exchange at the
+    # bench sizes; everything UDF/join-heavy keeps the parallel scan
+    return _scan(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        min_repart_bytes=(2 << 20) if parallel else (1 << 60),
+    )
 
 
 def _emb(spark, sf_dir, parallel=False):
@@ -663,7 +671,7 @@ def q_sampled_composition(spark, sf_dir):
 def q_exact_dedup(spark, sf_dir):
     from urqt_spark.operators.dedup import exact_dedup_groups
 
-    return exact_dedup_groups(_docs(spark, sf_dir))
+    return exact_dedup_groups(_docs(spark, sf_dir, parallel=False))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
